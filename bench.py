@@ -1,0 +1,99 @@
+"""Benchmark: flagship QuadtreeCNN training throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the PyTorch reference-equivalent model measured by
+``surya_tpu.bench.torch_reference`` (stored in
+benchmarks/torch_baseline.json; CPU-measured in this environment since
+the reference published no throughput and no reference GPU exists here —
+see BENCH_NOTES.md for methodology).
+
+The measured step is the REAL training step: forward (bf16 MXU) +
+backward + Adam update, batch 128 at 224×224, on the default JAX device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from surya_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+    from surya_tpu.core.mesh import create_mesh, replicate, shard_batch
+    from surya_tpu.core.prng import PRNG
+    from surya_tpu.models import get_model
+    from surya_tpu.train.steps import create_train_state, make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+
+    cfg = Config(
+        model=ModelConfig(name="quadtree", mode="fusion", num_classes=8,
+                          compute_dtype="bfloat16", use_pallas=use_pallas),
+        data=DataConfig(batch_size=batch_size),
+        train=TrainConfig(lr=1e-4, weight_decay=1e-4, nan_guard=False),
+    )
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32),
+             rng.normal(size=(batch_size, 47)).astype(np.float32),
+             rng.integers(0, 8, batch_size).astype(np.int32))
+
+    mesh = create_mesh()
+    with mesh:
+        state, tx = create_train_state(model, cfg, PRNG(0).named(0, "init"),
+                                       batch)
+        state = replicate(mesh, state)
+        step = make_train_step(model, tx, cfg)
+        sharded = shard_batch(mesh, batch)
+        key = PRNG(0).named(0, "dropout")
+
+        # Fuse all timed steps into ONE device program and fetch the final
+        # loss to host: block_until_ready is unreliable through the axon
+        # tunnel (async dispatch can report ~10x optimistic timings), so a
+        # single dispatch + hard device_get is the only honest clock.
+        import jax.numpy as jnp
+
+        @jax.jit
+        def multi_step(state, batch, key):
+            def body(_, carry):
+                st, _loss = carry
+                st, m = step(st, batch, key)
+                return st, m["loss"]
+            return jax.lax.fori_loop(0, steps, body,
+                                     (state, jnp.float32(0)))
+
+        state, loss = multi_step(state, sharded, key)  # compile + warmup
+        jax.device_get(loss)
+        t0 = time.perf_counter()
+        state, loss = multi_step(state, sharded, key)
+        jax.device_get(loss)
+        dt = time.perf_counter() - t0
+
+    images_per_sec = batch_size * steps / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "torch_baseline.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        if ref.get("value"):
+            vs_baseline = images_per_sec / ref["value"]
+
+    print(json.dumps({
+        "metric": "quadtree_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

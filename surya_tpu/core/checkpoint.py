@@ -1,0 +1,70 @@
+"""Orbax checkpointing: full training state, best-metric retention, resume.
+
+Upgrade over the reference's ``torch.save(model.state_dict())`` at best
+validation metric (§5.4, e.g. ``Quadtree_train.py:101-105``): we persist
+``{params, batch_stats, opt_state, step, epoch}`` so training truly
+resumes (the reference cannot resume — no optimizer state is saved).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with 'best' + 'latest' retention."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, metrics: dict | None = None,
+             force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=metrics, force=force)
+
+    def restore(self, step: int | None = None, template: Any = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_params(path: str, params) -> None:
+    """One-shot params-only save (reference state_dict-style artifact)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template=None):
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def host_copy(tree):
+    """Fetch a (possibly sharded) pytree to host numpy for saving."""
+    return jax.tree.map(lambda x: jax.device_get(x), tree)

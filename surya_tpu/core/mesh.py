@@ -1,0 +1,88 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no distributed code at all (single ``cuda:0`` everywhere,
+e.g. ``Quadtree_from scratch/Quadtree_train.py:28``). This module is the one
+place that owns multi-chip topology for the TPU build: a
+``Mesh(('data','model','seq'))`` over the device grid, NamedShardings for
+batch-axis data parallelism, and ``jax.distributed.initialize`` for
+multi-host runs. All collectives are XLA ops inserted by the compiler from
+sharding annotations — no hand-written communication outside shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
+AXES = (DATA_AXIS, MODEL_AXIS, SEQ_AXIS)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    data: int = -1
+    model: int = 1
+    seq: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        d, m, s = self.data, self.model, self.seq
+        if d == -1:
+            if n_devices % (m * s) != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by model*seq={m * s}")
+            d = n_devices // (m * s)
+        if d * m * s != n_devices:
+            raise ValueError(
+                f"mesh {d}x{m}x{s} != {n_devices} devices")
+        return d, m, s
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize multi-host JAX (DCN) if the coordinator env vars are set.
+
+    Single-host (the common case, incl. tests) is a no-op.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(spec: MeshSpec | None = None,
+                devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a 3-axis ('data','model','seq') mesh over the device grid."""
+    spec = spec or MeshSpec()
+    devices = list(devices if devices is not None else jax.devices())
+    d, m, s = spec.resolve(len(devices))
+    grid = np.asarray(devices).reshape(d, m, s)
+    return Mesh(grid, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return create_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)

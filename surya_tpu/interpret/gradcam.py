@@ -1,0 +1,183 @@
+"""Grad-CAM via functional forward-splitting + jax.vjp — no hooks.
+
+The reference registers forward/backward hooks on ``layer4`` and
+replays a one-hot backward (``Quadtree_from scratch/grad_cam.py:70-96``,
+``resnet/grad_cam_analysis.py:237-324``). In JAX the same quantity —
+d score / d activation — comes from ``jax.vjp`` through a *tail*
+function that maps the target activation to the logits. Our ResNet
+trunk supports ``start='layerK'`` so the tail reuses the full trunk
+param tree with no model surgery.
+
+Heatmap math (parity with ``grad_cam.py:82-87``): channel weights =
+mean of gradients over spatial dims; cam = ReLU(Σ_c w_c · act_c),
+max-normalized.
+
+Supported models: ``quadtree`` (targets ``layer3`` — the quadtree's
+shared map — or ``layer4`` — the global branch, the reference's choice),
+``standard_resnet`` and ``standard_multimodal`` with resnet backbones
+(target ``layer4``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surya_tpu.core.config import ModelConfig
+from surya_tpu.models.backbones.resnet import make_resnet
+from surya_tpu.models.common import FusionClassifier, NumericalMLP
+from surya_tpu.ops.quadtree import quadrant_flatten, quadrant_split
+
+
+def _trunk_vars(variables, *path):
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    for p in path:
+        params = params[p]
+        stats = stats.get(p, {}) if isinstance(stats, dict) else {}
+    return {"params": params, "batch_stats": stats}
+
+
+def _cam_from(act, grad):
+    """(B,h,w,C) activation+gradient → (B,h,w) normalized heatmap."""
+    weights = jnp.mean(grad, axis=(1, 2), keepdims=True)   # (B,1,1,C)
+    cam = jax.nn.relu(jnp.sum(weights * act, axis=-1))     # (B,h,w)
+    maxv = jnp.max(cam, axis=(1, 2), keepdims=True)
+    return cam / jnp.maximum(maxv, 1e-12)
+
+
+def _one_hot_seed(logits, target_class):
+    preds = jnp.argmax(logits, axis=-1)
+    target = preds if target_class is None else jnp.full_like(
+        preds, target_class)
+    return jax.nn.one_hot(target, logits.shape[-1],
+                          dtype=logits.dtype), preds
+
+
+def _quadtree_logits_from(cfg: ModelConfig, variables, act, fmap, feats,
+                          target_layer):
+    """Tail forward for QuadtreeCNN from the target activation."""
+    params = variables["params"]
+    trunk = make_resnet(cfg.backbone, dtype=jnp.float32)
+    tv = _trunk_vars(variables, "trunk")
+
+    if target_layer == "layer3":
+        fmap = act
+        gmap = trunk.apply(tv, fmap, train=False, start="layer4")["out"]
+    else:  # layer4: quadrant branch consumes the (constant) layer3 map
+        gmap = act
+    global_feat = jnp.mean(gmap, axis=(1, 2))
+
+    quads = quadrant_split(fmap)
+    q = jax.lax.conv_general_dilated(
+        quads, params["quadrant_conv_kernel"].astype(quads.dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    q = jax.nn.relu(q + params["quadrant_conv_bias"].astype(q.dtype))
+    b = fmap.shape[0]
+    q = jax.lax.reduce_window(q, -jnp.inf, jax.lax.max,
+                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    quad_flat = quadrant_flatten(q, b)
+    img_feat = jnp.concatenate([global_feat, quad_flat], axis=-1)
+
+    if cfg.mode == "fusion":
+        num_feat = NumericalMLP(out_dim=256, dropout=0.3,
+                                dtype=jnp.float32).apply(
+            {"params": params["numerical_mlp"]}, feats, train=False)
+        fused = jnp.concatenate([img_feat, num_feat], axis=-1)
+    else:
+        fused = img_feat
+    return FusionClassifier(num_classes=cfg.num_classes,
+                            dropout=cfg.dropout,
+                            dtype=jnp.float32).apply(
+        {"params": params["classifier"]}, fused, train=False)
+
+
+def _standard_logits_from(cfg: ModelConfig, variables, act, feats):
+    params = variables["params"]
+    feat = jnp.mean(act, axis=(1, 2))
+    if cfg.name == "standard_multimodal" and cfg.mode == "fusion":
+        num_feat = NumericalMLP(out_dim=256, dropout=0.3,
+                                dtype=jnp.float32).apply(
+            {"params": params["numerical_mlp"]}, feats, train=False)
+        feat = jnp.concatenate([feat, num_feat], axis=-1)
+        hidden = 512
+    else:
+        hidden = 256 if cfg.name == "standard_resnet" else 512
+    return FusionClassifier(num_classes=cfg.num_classes, hidden_dim=hidden,
+                            dropout=0.5, dtype=jnp.float32).apply(
+        {"params": params["classifier"]}, feat, train=False)
+
+
+def grad_cam(cfg: ModelConfig, variables, images, feats,
+             target_layer: str = "layer4", target_class: int | None = None):
+    """Returns (heatmaps (B,h,w), preds (B,), logits (B,C))."""
+    images = jnp.asarray(images, jnp.float32)
+    feats = jnp.asarray(feats, jnp.float32)
+    trunk = make_resnet(cfg.backbone, dtype=jnp.float32)
+
+    if cfg.name == "quadtree":
+        tv = _trunk_vars(variables, "trunk")
+        fmap = trunk.apply(tv, images, train=False, upto="layer3")["out"]
+        if target_layer == "layer3":
+            act = fmap
+        elif target_layer == "layer4":
+            act = trunk.apply(tv, fmap, train=False,
+                              start="layer4")["out"]
+        else:
+            raise ValueError("quadtree targets: layer3 | layer4")
+        tail = lambda a: _quadtree_logits_from(  # noqa: E731
+            cfg, variables, a, fmap, feats, target_layer)
+    elif cfg.name in ("standard_resnet", "standard_multimodal"):
+        if not cfg.backbone.startswith("resnet"):
+            raise NotImplementedError(
+                "grad_cam supports resnet backbones (the reference hooks "
+                "resnet layer4 only, resnet/grad_cam_analysis.py:258)")
+        tv = _trunk_vars(variables, "trunk", "resnet")
+        act = trunk.apply(tv, images, train=False, upto="layer4")["out"]
+        tail = lambda a: _standard_logits_from(  # noqa: E731
+            cfg, variables, a, feats)
+    else:
+        raise NotImplementedError(f"grad_cam for {cfg.name!r}")
+
+    logits, vjp = jax.vjp(tail, act)
+    seed, preds = _one_hot_seed(logits, target_class)
+    (grad,) = vjp(seed)
+    return _cam_from(act, grad), preds, logits
+
+
+def resize_bilinear(cam: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """(B,h,w) → (B,H,W) bilinear upsample (cv2.resize equivalent)."""
+    return jax.image.resize(cam, (cam.shape[0],) + tuple(size),
+                            method="bilinear")
+
+
+def overlay_heatmap(image: np.ndarray, cam: np.ndarray,
+                    alpha: float = 0.4) -> np.ndarray:
+    """Blend a [0,1] heatmap onto an HWC uint8/float image (JET colormap,
+    parity with ``grad_cam.py:89-96``'s cv2.COLORMAP_JET blend)."""
+    import matplotlib.cm as mcm
+
+    cam = np.asarray(jax.image.resize(jnp.asarray(cam), image.shape[:2],
+                                      method="bilinear"))
+    colored = mcm.jet(np.clip(cam, 0, 1))[..., :3]
+    img = np.asarray(image, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    out = (1 - alpha) * img + alpha * colored
+    return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+
+
+def batch_grad_cam(cfg: ModelConfig, variables, batches,
+                   target_layer: str = "layer4"):
+    """Batch driver (parity with resnet/grad_cam_analysis.py:237-441):
+    yields (heatmaps, preds, labels) per batch; skips numerical_only
+    (``:238-241`` — no spatial evidence to attribute)."""
+    if cfg.mode == "numerical_only":
+        raise ValueError("grad-cam is undefined for numerical_only mode")
+    fn = jax.jit(lambda imgs, fts: grad_cam(cfg, variables, imgs, fts,
+                                            target_layer))
+    for images, feats, labels in batches:
+        cams, preds, _ = fn(images, feats)
+        yield np.asarray(cams), np.asarray(preds), np.asarray(labels)

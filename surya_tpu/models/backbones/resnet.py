@@ -1,0 +1,195 @@
+"""NHWC ResNet backbones in Flax linen, TPU-first.
+
+Functional equivalent of the torchvision ``resnet18``/``resnet50`` the
+reference uses as its feature extractor everywhere (e.g.
+``Quadtree_from scratch/models.py:221-230``), redesigned for TPU:
+
+- NHWC layout (channels-last feeds the MXU's (8,128)/(16,128) tiling; the
+  reference's NCHW is a CUDA convention with no TPU benefit).
+- bfloat16 compute / float32 params by default; BN statistics in float32.
+- a ``capture`` mechanism returns intermediate stage maps so quadtree
+  models can split layer2/layer3 outputs without forward hooks
+  (the reference re-instantiates and slices ``nn.Sequential`` children,
+  ``models.py:222-243``; here stages are first-class).
+
+Weight import from torchvision checkpoints is in
+``surya_tpu.models.backbones.torch_import`` (NCHW→NHWC transposes there).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Stage names in forward order. stem = conv1+bn+relu+maxpool.
+STAGES = ("stem", "layer1", "layer2", "layer3", "layer4")
+
+
+class BasicBlock(nn.Module):
+    """2×(3×3 conv) residual block (torchvision BasicBlock equivalent)."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+
+        residual = x
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                 name="conv2")(y)
+        y = norm(name="bn2")(y)
+
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = conv(self.filters, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 bottleneck block (torchvision Bottleneck, expansion 4)."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+
+        out_ch = self.filters * self.expansion
+        residual = x
+        y = conv(self.filters, (1, 1), name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.relu(norm(name="bn2")(y))
+        y = conv(out_ch, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = conv(out_ch, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk. Returns the requested stage outputs as a dict.
+
+    ``upto`` truncates computation after a given stage — the quadtree
+    models stop at layer3 (``Quadtree_from scratch/models.py:222-230``)
+    or layer2 (hierarchical, ``models.py:114-117``), and run layer4 as a
+    separate "global branch"; with ``capture`` both come from one trunk
+    call without recompute.
+    """
+
+    block: type = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, upto: str = "layer4",
+                 capture: Sequence[str] = (), start: str | None = None):
+        """Run stages [start..upto]. ``start=None`` begins at the stem.
+
+        ``start='layerK'`` skips the stem and earlier stages — used by
+        interpret/gradcam to re-run just the tail from a captured
+        activation (flax ignores the unused params of skipped stages, so
+        the full trunk param tree applies unchanged).
+        """
+        if upto not in STAGES:
+            raise ValueError(f"upto must be one of {STAGES}, got {upto!r}")
+        if start is not None and start not in STAGES[1:]:
+            raise ValueError(f"start must be one of {STAGES[1:]}")
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+
+        x = x.astype(self.dtype)
+        outs = {}
+        if start is None:
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="conv1")(x)
+            x = norm(name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+            if "stem" in capture:
+                outs["stem"] = x
+            if upto == "stem":
+                outs["out"] = x
+                return outs
+
+        started = start is None
+        for i, n_blocks in enumerate(self.stage_sizes):
+            stage = f"layer{i + 1}"
+            if not started:
+                if stage == start:
+                    started = True
+                else:
+                    continue
+            filters = self.width * (2 ** i)
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = self.block(filters=filters, stride=stride,
+                               dtype=self.dtype,
+                               name=f"{stage}_block{j}")(x, train=train)
+            if stage in capture:
+                outs[stage] = x
+            if upto == stage:
+                outs["out"] = x
+                return outs
+        outs["out"] = x
+        return outs
+
+
+def resnet18(dtype=jnp.bfloat16, name=None) -> ResNet:
+    return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), dtype=dtype,
+                  name=name)
+
+
+def resnet34(dtype=jnp.bfloat16, name=None) -> ResNet:
+    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), dtype=dtype,
+                  name=name)
+
+
+def resnet50(dtype=jnp.bfloat16, name=None) -> ResNet:
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), dtype=dtype,
+                  name=name)
+
+
+def feature_dim(name: str) -> int:
+    """Final (layer4) channel count of a named resnet."""
+    return {"resnet18": 512, "resnet34": 512, "resnet50": 2048}[name]
+
+
+def make_resnet(arch: str, dtype=jnp.bfloat16, name=None) -> ResNet:
+    try:
+        return {"resnet18": resnet18, "resnet34": resnet34,
+                "resnet50": resnet50}[arch](dtype=dtype, name=name)
+    except KeyError:
+        raise ValueError(f"unknown resnet {arch!r}") from None

@@ -1,0 +1,79 @@
+"""Shared model components: numerical-feature MLP, fusion classifier, modes.
+
+Every spatial model in the reference repeats the same two heads:
+- numerical MLP 47→94→ReLU→Dropout→256 (``Quadtree_from scratch/
+  models.py:255-260``; 47→94→256 without dropout in ``comparative
+  analysis/model.py:42-47``)
+- fusion classifier (img_dim+num_dim)→hidden→ReLU→Dropout(0.5)→classes
+  (``models.py:266-271``)
+plus the fusion/image_only/numerical_only ablation switch
+(``experiment/models_cnn.py:55-116``). Here they are single modules.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+MODES = ("fusion", "image_only", "numerical_only")
+
+
+def check_mode(mode: str) -> None:
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+
+
+class NumericalMLP(nn.Module):
+    """47 → hidden (=2×in) → ReLU → Dropout → out projection."""
+
+    out_dim: int = 256
+    hidden_dim: int | None = None  # default 2× input dim (47→94)
+    dropout: float = 0.3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        hidden = self.hidden_dim or 2 * x.shape[-1]
+        x = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(x)
+        return nn.relu(x)
+
+
+class FusionClassifier(nn.Module):
+    """concat(features) → hidden → ReLU → Dropout → logits (float32)."""
+
+    num_classes: int
+    hidden_dim: int | None = None  # default = in_dim // 2
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        hidden = self.hidden_dim or max(x.shape[-1] // 2, self.num_classes)
+        x = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, dtype=jnp.float32,
+                     param_dtype=jnp.float32, name="fc2")(x)
+        return x  # logits in float32 for a stable softmax/CE
+
+
+def fuse_by_mode(mode: str, image_feat, num_feat):
+    """Select classifier input per the reference's ablation switch."""
+    if mode == "fusion":
+        return jnp.concatenate(
+            [image_feat, num_feat.astype(image_feat.dtype)], axis=-1)
+    if mode == "image_only":
+        return image_feat
+    if mode == "numerical_only":
+        return num_feat
+    raise ValueError(f"bad mode {mode!r}")

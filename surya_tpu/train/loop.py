@@ -1,0 +1,235 @@
+"""Generic training loop — replaces the reference's nine train scripts.
+
+Capabilities reproduced (SURVEY §2.4, §5.3-5.5): epoch loop with train +
+validation phases, early stopping on val loss/accuracy with min_delta
+(``3dcnn/train_3D_Quadtree_cnn_model.py:198-211``), ReduceLROnPlateau
+(``cnn+lstm/training.py:93``), best-metric checkpointing (§5.4), NaN-loss
+step skipping (in the compiled step), per-epoch metric logging (JSONL
+instead of print/matplotlib), and final test evaluation with confusion
+matrix + weighted P/R/F1.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable
+
+import jax
+import numpy as np
+
+from surya_tpu.core.checkpoint import CheckpointManager, host_copy
+from surya_tpu.core.config import Config
+from surya_tpu.core.mesh import create_mesh, replicate, shard_batch
+from surya_tpu.core.metrics import MetricsLogger, precision_recall_f1
+from surya_tpu.core.prng import PRNG
+from surya_tpu.models import get_model
+from surya_tpu.train.steps import (
+    create_train_state,
+    get_learning_rate,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+class EarlyStopping:
+    """Best-metric tracker with patience and min_delta."""
+
+    def __init__(self, metric: str, patience: int, min_delta: float = 0.0):
+        self.metric = metric
+        self.mode = "min" if "loss" in metric else "max"
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = np.inf if self.mode == "min" else -np.inf
+        self.bad_epochs = 0
+        self.best_epoch = -1
+
+    def update(self, value: float, epoch: int) -> bool:
+        """Returns True if this value is a new best."""
+        improved = (value < self.best - self.min_delta
+                    if self.mode == "min"
+                    else value > self.best + self.min_delta)
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+            self.best_epoch = epoch
+            return True
+        self.bad_epochs += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.patience > 0 and self.bad_epochs >= self.patience
+
+
+class Plateau:
+    """ReduceLROnPlateau: scale LR by factor after patience bad epochs."""
+
+    def __init__(self, patience: int, factor: float, min_lr: float,
+                 mode: str = "min"):
+        self.enabled = patience > 0
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.mode = mode
+        self.best = np.inf if mode == "min" else -np.inf
+        self.bad_epochs = 0
+
+    def update(self, value: float, current_lr: float) -> float | None:
+        """Returns a new LR if it should change, else None."""
+        if not self.enabled:
+            return None
+        improved = (value < self.best if self.mode == "min"
+                    else value > self.best)
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+            return None
+        self.bad_epochs += 1
+        if self.bad_epochs >= self.patience:
+            self.bad_epochs = 0
+            new_lr = max(current_lr * self.factor, self.min_lr)
+            if new_lr < current_lr:
+                return new_lr
+        return None
+
+
+def evaluate(eval_step, params, batch_stats, batches: Iterable,
+             mesh=None) -> dict:
+    """Run eval over batches; returns loss/accuracy/P/R/F1/confusion."""
+    totals = None
+    for batch in batches:
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        out = eval_step(params, batch_stats, batch)
+        if totals is None:
+            totals = jax.tree.map(np.asarray, jax.device_get(out))
+        else:
+            out = jax.device_get(out)
+            totals = jax.tree.map(lambda a, b: a + np.asarray(b),
+                                  totals, out)
+    if totals is None:
+        return {"loss": float("nan"), "accuracy": 0.0, "count": 0}
+    count = max(int(totals["count"]), 1)
+    cm = totals["confusion"]
+    p, r, f1 = (float(x) for x in precision_recall_f1(cm))
+    return {"loss": float(totals["loss_sum"]) / count,
+            "accuracy": float(totals["correct"]) / count,
+            "precision": p, "recall": r, "f1": f1,
+            "confusion": cm, "count": count}
+
+
+def train_and_evaluate(cfg: Config, data, *, mesh=None,
+                       logger: MetricsLogger | None = None,
+                       checkpoints: bool = True) -> dict:
+    """Train per config on a data source; returns summary + final state.
+
+    ``data`` must provide: ``num_classes``, ``train_batches(epoch_seed)``,
+    ``eval_batches(split)`` (splits: 'valid', 'test' — 'test' optional),
+    and each batch is (images, features, labels) host arrays.
+    """
+    mesh = mesh or create_mesh()
+    logger = logger or MetricsLogger()
+    prng = PRNG(cfg.train.seed)
+
+    model = get_model(cfg.model)
+    sample = next(iter(data.train_batches(0)))
+    with mesh:
+        state, tx = create_train_state(model, cfg, prng.named(0, "init"),
+                                       sample)
+        state = replicate(mesh, state)
+        train_step = make_train_step(model, tx, cfg)
+        eval_step = make_eval_step(model, cfg.model.num_classes,
+                                   cfg.train.label_smoothing)
+
+        stopper = EarlyStopping(cfg.train.early_stop_metric,
+                                cfg.train.early_stop_patience,
+                                cfg.train.early_stop_min_delta)
+        plateau = Plateau(cfg.train.plateau_patience,
+                          cfg.train.plateau_factor,
+                          cfg.train.plateau_min_lr,
+                          mode="min" if "loss" in
+                          cfg.train.early_stop_metric else "max")
+        ckpt = (CheckpointManager(cfg.train.checkpoint_dir)
+                if checkpoints else None)
+
+        history = []
+        best_state = None
+        step_count = 0
+        for epoch in range(cfg.train.epochs):
+            t0 = time.time()
+            losses, accs, seen = [], [], 0
+            for batch in data.train_batches(epoch + 1):
+                batch = shard_batch(mesh, batch)
+                rng = prng.named(step_count, "dropout")
+                state, m = train_step(state, batch, rng)
+                step_count += 1
+                seen += int(np.shape(batch[2])[0])
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
+            train_loss = float(np.mean(jax.device_get(losses)))
+            train_acc = float(np.mean(jax.device_get(accs)))
+
+            val = evaluate(eval_step, state.params, state.batch_stats,
+                           data.eval_batches("valid"), mesh)
+            epoch_time = time.time() - t0
+
+            current_lr = get_learning_rate(state.opt_state)
+            record = {"epoch": epoch, "train_loss": train_loss,
+                      "train_accuracy": train_acc,
+                      "val_loss": val["loss"],
+                      "val_accuracy": val["accuracy"],
+                      "val_f1": val["f1"], "lr": current_lr,
+                      "epoch_time_s": round(epoch_time, 2),
+                      "images_per_sec": round(seen / max(epoch_time,
+                                                         1e-9), 1)}
+            history.append(record)
+            logger.log(record)
+
+            monitored = (val["loss"]
+                         if "loss" in cfg.train.early_stop_metric
+                         else val["accuracy"])
+            if stopper.update(monitored, epoch):
+                best_state = host_copy(state)
+                if ckpt:
+                    ckpt.save(epoch, host_copy(state),
+                              metrics={"val_loss": val["loss"],
+                                       "val_accuracy": val["accuracy"]})
+            new_lr = plateau.update(monitored, current_lr)
+            if new_lr is not None:
+                logger.log({"event": "plateau_lr", "epoch": epoch,
+                            "lr": new_lr})
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, new_lr))
+            if stopper.should_stop:
+                logger.log({"event": "early_stop", "epoch": epoch,
+                            "best_epoch": stopper.best_epoch})
+                break
+
+        final_state = best_state if best_state is not None else state
+        summary = {"history": history, "best_epoch": stopper.best_epoch,
+                   "best_metric": float(stopper.best),
+                   "state": final_state}
+
+        try:
+            test_batches = data.eval_batches("test")
+        except (KeyError, ValueError):
+            test_batches = None
+        if test_batches is not None:
+            test = evaluate(eval_step, final_state["params"]
+                            if isinstance(final_state, dict)
+                            else final_state.params,
+                            final_state["batch_stats"]
+                            if isinstance(final_state, dict)
+                            else final_state.batch_stats,
+                            test_batches, mesh)
+            logger.log({"event": "test", "test_loss": test["loss"],
+                        "test_accuracy": test["accuracy"],
+                        "test_precision": test["precision"],
+                        "test_recall": test["recall"],
+                        "test_f1": test["f1"]})
+            summary["test"] = test
+        if ckpt:
+            ckpt.wait()
+            ckpt.close()
+        return summary

@@ -1,0 +1,180 @@
+"""Jitted train/eval step builders — one SPMD program per step.
+
+Replaces the nine copy-pasted torch epoch loops (SURVEY §2.4) with a
+single pjit'd train step: forward (bf16 on the MXU), loss, grads, optax
+update, BN-stat update, and the data-parallel gradient all-reduce — all
+one XLA program over the ('data','model','seq') mesh. Batch-norm
+statistics are computed over the GLOBAL batch automatically (reductions
+under jit are global with GSPMD sharding), which upgrades the reference's
+single-device BN semantics to synced BN at no cost.
+
+Freezing (``cnn+lstm/models.py:26-27``, ``3dcnn/models.py:229-237,
+291-297``, ``experiment/models_cnn.py:16-17``) is an optax mask: frozen
+params get no updates AND no weight decay; their BN layers run in
+inference mode (the model's ``freeze_backbone`` attribute controls that).
+
+NaN-loss guarding (``3dcnn/train_3D_Quadtree_cnn_model.py:127-129``)
+happens inside the compiled step: a non-finite loss selects the old state
+instead of branching on host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct, traverse_util
+
+from surya_tpu.core.config import Config
+from surya_tpu.models.losses import cross_entropy
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Freezing rules
+# ---------------------------------------------------------------------------
+
+# Models whose backbone is frozen EXCEPT layer4 (3dcnn/models.py:229-237,
+# 291-297 unfreeze r3d_18.layer4 for fine-tuning).
+_PARTIAL_UNFREEZE = {"resnet3d_video", "hybrid_quadtree_3d"}
+_BACKBONE_KEYS = ("trunk", "vit_backbone")
+
+
+def trainable_mask(params, model_name: str, freeze_backbone: bool):
+    """Bool pytree: True = trainable. Mirrors the reference freeze rules."""
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, _ in flat.items():
+        trainable = True
+        if freeze_backbone and path[0] in _BACKBONE_KEYS:
+            trainable = False
+            if model_name in _PARTIAL_UNFREEZE and any(
+                    "layer4" in p for p in path):
+                trainable = True
+        out[path] = trainable
+    return traverse_util.unflatten_dict(out)
+
+
+def make_optimizer(cfg: Config, params):
+    """inject_hyperparams(adamw [+clip]) with optional freeze mask."""
+    def build(learning_rate):
+        txs = []
+        if cfg.train.grad_clip > 0:
+            txs.append(optax.clip_by_global_norm(cfg.train.grad_clip))
+        txs.append(optax.adamw(learning_rate,
+                               weight_decay=cfg.train.weight_decay))
+        return optax.chain(*txs)
+
+    tx = optax.inject_hyperparams(build)(learning_rate=cfg.train.lr)
+    mask = trainable_mask(params, cfg.model.name,
+                          cfg.model.freeze_backbone)
+    if not all(jax.tree.leaves(mask)):
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Plateau-LR support: rewrite the injected learning_rate in-place."""
+    return optax.tree_utils.tree_set(opt_state, learning_rate=jnp.asarray(
+        lr, dtype=jnp.float32))
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(optax.tree_utils.tree_get(opt_state, "learning_rate"))
+
+
+# ---------------------------------------------------------------------------
+# State creation + steps
+# ---------------------------------------------------------------------------
+
+def create_train_state(model: nn.Module, cfg: Config, rng,
+                       sample_batch) -> tuple[TrainState, optax.GradientTransformation]:
+    images, feats, _ = sample_batch
+    variables = model.init({"params": rng}, images, feats, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats,
+                       opt_state=tx.init(params))
+    return state, tx
+
+
+def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
+    """Build the jitted train step: (state, batch, rng) → (state, metrics)."""
+
+    smoothing = cfg.train.label_smoothing
+    nan_guard = cfg.train.nan_guard
+
+    def apply(params, batch_stats, images, feats, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, updated = model.apply(
+            variables, images, feats, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        return logits, updated.get("batch_stats", batch_stats)
+
+    def step(state: TrainState, batch, rng):
+        images, feats, labels = batch
+
+        def loss_fn(params):
+            logits, new_stats = apply(params, state.batch_stats, images,
+                                      feats, rng)
+            loss = cross_entropy(logits, labels, smoothing)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if nan_guard:
+            good = jnp.isfinite(loss)
+            sel = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda a, b: jnp.where(good, a, b), new, old)
+            new_params = sel(new_params, state.params)
+            new_opt_state = sel(new_opt_state, state.opt_state)
+            new_stats = sel(new_stats, state.batch_stats)
+
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {"loss": loss,
+                   "accuracy": jnp.mean((preds == labels).astype(
+                       jnp.float32))}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: nn.Module, num_classes: int,
+                   label_smoothing: float = 0.0) -> Callable:
+    """(params, batch_stats, batch) → dict with loss-sum/correct/confusion."""
+
+    def step(params, batch_stats, batch):
+        images, feats, labels = batch
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits = model.apply(variables, images, feats, train=False)
+        loss = cross_entropy(logits, labels, label_smoothing)
+        preds = jnp.argmax(logits, axis=-1)
+        b = labels.shape[0]
+        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        cm = cm.at[labels, preds].add(1)
+        return {"loss_sum": loss * b,
+                "correct": jnp.sum((preds == labels).astype(jnp.int32)),
+                "count": jnp.asarray(b, jnp.int32),
+                "confusion": cm}
+
+    return jax.jit(step)

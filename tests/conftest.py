@@ -1,0 +1,34 @@
+"""Test env: 8 virtual CPU devices (the JAX fake backend for mesh tests).
+
+Must run before jax initializes — pytest imports conftest first.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin latches the platform before env vars are read;
+# force CPU through the config API (reliable under the tunnel).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from surya_tpu.core.mesh import MeshSpec, create_mesh
+    return create_mesh(MeshSpec(data=8))
+
+
+@pytest.fixture(scope="session")
+def mesh1():
+    from surya_tpu.core.mesh import single_device_mesh
+    return single_device_mesh()

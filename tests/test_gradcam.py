@@ -1,0 +1,62 @@
+"""Grad-CAM: the split-tail forward must reproduce the model's logits,
+and heatmaps must be valid (shape, [0,1] range, finite)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu.core.config import ModelConfig
+from surya_tpu.interpret import grad_cam, overlay_heatmap
+from surya_tpu.models import get_model
+
+
+def _setup(name, mode="fusion"):
+    cfg = ModelConfig(name=name, mode=mode, num_classes=6,
+                      compute_dtype="float32", use_pallas=False)
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 47)), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, images, feats,
+                           train=False)
+    return cfg, model, variables, images, feats
+
+
+@pytest.mark.parametrize("target", ["layer3", "layer4"])
+def test_quadtree_gradcam_logit_parity(target):
+    cfg, model, variables, images, feats = _setup("quadtree")
+    cams, preds, logits = grad_cam(cfg, variables, images, feats,
+                                   target_layer=target)
+    want = model.apply(variables, images, feats, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert cams.shape[0] == 2 and cams.ndim == 3
+    c = np.asarray(cams)
+    assert np.all(np.isfinite(c)) and c.min() >= 0 and c.max() <= 1 + 1e-6
+
+
+def test_standard_resnet_gradcam():
+    cfg, model, variables, images, feats = _setup("standard_resnet",
+                                                  mode="image_only")
+    cams, preds, logits = grad_cam(cfg, variables, images, feats)
+    want = model.apply(variables, images, feats, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # layer4 of a 64px input is 2x2
+    assert cams.shape == (2, 2, 2)
+
+
+def test_gradcam_responds_to_target_class():
+    cfg, _, variables, images, feats = _setup("quadtree")
+    cam0, _, _ = grad_cam(cfg, variables, images, feats, target_class=0)
+    cam1, _, _ = grad_cam(cfg, variables, images, feats, target_class=1)
+    assert not np.allclose(np.asarray(cam0), np.asarray(cam1))
+
+
+def test_overlay_shapes():
+    img = np.zeros((64, 64, 3), np.uint8)
+    cam = np.random.default_rng(0).uniform(0, 1, (8, 8)).astype(np.float32)
+    out = overlay_heatmap(img, cam)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8

@@ -1,0 +1,134 @@
+"""End-to-end training tests on the 8-device CPU mesh (SURVEY §4d/§4e)."""
+
+import numpy as np
+import pytest
+
+from surya_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+from surya_tpu.core.metrics import MetricsLogger
+from surya_tpu.data import ArrayDataSource, make_synthetic_spatial
+from surya_tpu.train import train_and_evaluate
+
+
+def _tiny_source(batch_size=16, image_size=32, per_class=8,
+                 num_classes=4, seed=0):
+    imgs, feats, labels = make_synthetic_spatial(
+        num_classes=num_classes, per_class=per_class,
+        image_size=image_size, seed=seed)
+    val = make_synthetic_spatial(num_classes=num_classes, per_class=4,
+                                 image_size=image_size, seed=seed + 1)
+    test = make_synthetic_spatial(num_classes=num_classes, per_class=4,
+                                  image_size=image_size, seed=seed + 2)
+    return ArrayDataSource(
+        {"train": (imgs, feats, labels), "valid": val, "test": test},
+        batch_size=batch_size, pad_eval_to=8)
+
+
+def _cfg(name="quadtree", epochs=4, **model_kw):
+    return Config(
+        model=ModelConfig(name=name, num_classes=4,
+                          compute_dtype="float32", use_pallas=False,
+                          **model_kw),
+        data=DataConfig(batch_size=16),
+        train=TrainConfig(epochs=epochs, lr=3e-3, weight_decay=1e-5,
+                          early_stop_patience=0, seed=0,
+                          deterministic=True),
+    )
+
+
+def test_quadtree_learns_synthetic(mesh8, tmp_path):
+    # freeze_backbone keeps trunk BN in inference mode so train/eval
+    # statistics agree in this short run (unconverged running stats would
+    # otherwise make eval diverge from train — a BN artifact, not a bug).
+    cfg = _cfg(epochs=10, freeze_backbone=True)
+    cfg = cfg.override({"train.checkpoint_dir": str(tmp_path / "ckpt")})
+    data = _tiny_source(per_class=16)
+    summary = train_and_evaluate(
+        cfg, data, mesh=mesh8, logger=MetricsLogger(echo=False),
+        checkpoints=False)
+    # numerical branch alone separates the synthetic classes easily
+    assert summary["history"][-1]["train_accuracy"] > 0.9
+    assert summary["test"]["accuracy"] > 0.8
+
+
+def test_numerical_only_mode_learns(mesh8):
+    cfg = _cfg(mode="numerical_only", epochs=6)
+    data = _tiny_source()
+    summary = train_and_evaluate(cfg, data, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    assert summary["history"][-1]["train_accuracy"] > 0.9
+
+
+def test_early_stopping_and_plateau(mesh8):
+    cfg = _cfg(epochs=10)
+    cfg = cfg.override({"train.early_stop_patience": "2",
+                        "train.plateau_patience": "1",
+                        "train.lr": "1e-6"})  # tiny LR → no improvement
+    data = _tiny_source()
+    summary = train_and_evaluate(cfg, data, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    # must have stopped before 10 epochs
+    assert len(summary["history"]) < 10
+
+
+def test_frozen_backbone_params_unchanged(mesh8):
+    cfg = _cfg(epochs=1, freeze_backbone=True)
+    data = _tiny_source()
+    summary = train_and_evaluate(cfg, data, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    state = summary["state"]
+    # re-init fresh params with the same seed: trunk must equal trained
+    # trunk (frozen), classifier must differ (trained).
+    import jax
+
+    from surya_tpu.models import get_model
+    from surya_tpu.core.prng import PRNG
+    model = get_model(cfg.model)
+    sample = next(iter(data.train_batches(0)))
+    variables = model.init({"params": PRNG(cfg.train.seed).named(0, "init")},
+                           sample[0], sample[1], train=False)
+    init_trunk = variables["params"]["trunk"]
+    trained_trunk = state.params["trunk"]
+    for a, b in zip(jax.tree.leaves(init_trunk),
+                    jax.tree.leaves(trained_trunk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    init_cls = jax.tree.leaves(variables["params"]["classifier"])
+    trained_cls = jax.tree.leaves(state.params["classifier"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(init_cls, trained_cls))
+
+
+def test_nan_guard_skips_bad_batch(mesh8):
+    """A poisoned batch (NaN features) must not contaminate params."""
+    import jax.numpy as jnp
+
+    from surya_tpu.core.prng import PRNG
+    from surya_tpu.models import get_model
+    from surya_tpu.train.steps import (create_train_state, make_train_step)
+
+    cfg = _cfg(name="quadtree", epochs=1)
+    cfg = cfg.override({"model.mode": "numerical_only"})
+    data = _tiny_source()
+    model = get_model(cfg.model)
+    sample = next(iter(data.train_batches(0)))
+    with mesh8:
+        state, tx = create_train_state(model, cfg,
+                                       PRNG(0).named(0, "init"), sample)
+        step = make_train_step(model, tx, cfg)
+        bad = (sample[0], np.full_like(sample[1], np.nan), sample[2])
+        # snapshot before the step: the step donates its input state
+        before = np.asarray(state.params["classifier"]["fc1"]["kernel"]).copy()
+        new_state, metrics = step(state, bad, PRNG(0).named(0, "dropout"))
+        assert not bool(jnp.isfinite(metrics["loss"]))
+        after = np.asarray(new_state.params["classifier"]["fc1"]["kernel"])
+        np.testing.assert_array_equal(before, after)
+
+
+@pytest.mark.parametrize("metric,mode", [("val_loss", "min"),
+                                         ("val_accuracy", "max")])
+def test_early_stopping_modes(metric, mode):
+    from surya_tpu.train.loop import EarlyStopping
+    es = EarlyStopping(metric, patience=2)
+    assert es.mode == mode
