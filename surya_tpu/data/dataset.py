@@ -1,0 +1,183 @@
+"""Disk-backed multimodal image dataset (the reference's L4 frame loader).
+
+Scans ``<root>/<split>/<class>/*.jpg`` with sibling ``.npy`` 47-vectors —
+the layout ``1_prepare_still_image_dataset.py`` emits and
+``experiment/dataloader_cnn.py:48-72`` consumes — and serves global
+batches:
+
+- host side: threaded JPEG decode + resize to a fixed staging size,
+  shuffle, batch, prefetch (replaces the torch DataLoader worker pool,
+  ``dataloader_cnn.py:135-139``);
+- device side: ``device_transform`` applies the reference augmentation
+  set (data/augment.py) or eval resize+normalize, plus per-class NaN
+  imputation / standardization (data/imputation.py) — all fused into
+  the step's XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from surya_tpu.core.config import DataConfig
+from surya_tpu.data.imputation import ClassFeatureStats
+
+IMG_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def scan_image_dataset(root: str, split: str):
+    """Returns (image_paths, feature_paths, labels, class_names).
+
+    Classes are the sorted subdirectories (``dataloader_cnn.py:51-55``);
+    images without a sibling ``.npy`` are skipped with a warning
+    (``:69-70``)."""
+    split_dir = os.path.join(root, split)
+    if not os.path.isdir(split_dir):
+        raise FileNotFoundError(split_dir)
+    class_names = sorted(d for d in os.listdir(split_dir)
+                         if os.path.isdir(os.path.join(split_dir, d)))
+    image_paths, feature_paths, labels = [], [], []
+    skipped = 0
+    for ci, cname in enumerate(class_names):
+        cdir = os.path.join(split_dir, cname)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith(IMG_EXTS):
+                continue
+            ipath = os.path.join(cdir, fname)
+            npy = os.path.splitext(ipath)[0] + ".npy"
+            if not os.path.exists(npy):
+                skipped += 1
+                continue
+            image_paths.append(ipath)
+            feature_paths.append(npy)
+            labels.append(ci)
+    if skipped:
+        print(f"[data] {split}: skipped {skipped} images without .npy")
+    return (image_paths, feature_paths,
+            np.asarray(labels, np.int32), class_names)
+
+
+def _decode(path: str, staging: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((staging, staging),
+                                      Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+class DiskDataSource:
+    """train_batches/eval_batches over the on-disk layout.
+
+    Batches are (images uint8 (B,S,S,3), features f32 (B,47),
+    labels i32); ``device_transform`` finishes the pipeline on device.
+    """
+
+    def __init__(self, cfg: DataConfig, splits=("train", "valid", "test"),
+                 stats: ClassFeatureStats | None = None,
+                 staging_size: int = 256, num_threads: int = 8,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.staging = staging_size
+        self.num_threads = num_threads
+        self.seed = seed
+        self.index = {}
+        for s in splits:
+            try:
+                self.index[s] = scan_image_dataset(cfg.data_root, s)
+            except FileNotFoundError:
+                pass
+        if "train" not in self.index:
+            raise FileNotFoundError(
+                f"no train split under {cfg.data_root}")
+        self.class_names = self.index["train"][3]
+        self.num_classes = len(self.class_names)
+
+        if stats is None:
+            means = os.path.join(cfg.data_root, "class_feature_means.json")
+            stds = os.path.join(cfg.data_root, "class_feature_stds.json")
+            if os.path.exists(means):
+                stats = ClassFeatureStats.from_json(
+                    means, stds if os.path.exists(stds) else None)
+        self.stats = stats
+
+    # -- host batching ----------------------------------------------------
+
+    def _load_batch(self, split: str, idx: np.ndarray):
+        paths, fpaths, labels, _ = self.index[split]
+        imgs = np.empty((len(idx), self.staging, self.staging, 3),
+                        np.uint8)
+        feats = np.empty((len(idx), 47), np.float32)
+        for j, i in enumerate(idx):
+            imgs[j] = _decode(paths[i], self.staging)
+            feats[j] = np.load(fpaths[i]).astype(np.float32)
+        return imgs, feats, labels[idx]
+
+    def _batches(self, split: str, order: np.ndarray,
+                 bs: int) -> Iterator[tuple]:
+        """Threaded double-buffered batch producer."""
+        chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
+        q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
+
+        def worker():
+            for ch in chunks:
+                q.put(self._load_batch(split, ch))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+    def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:
+        labels = self.index["train"][2]
+        n = len(labels)
+        rng = np.random.default_rng((self.seed, epoch_seed))
+        order = rng.permutation(n)
+        bs = self.cfg.batch_size
+        stop = max((n // bs) * bs, bs)
+        order = np.resize(order, stop) if n < bs else order[:stop]
+        yield from self._batches("train", order, bs)
+
+    def eval_batches(self, split: str) -> Iterator[tuple]:
+        if split not in self.index:
+            raise KeyError(split)   # eager: callers probe availability
+        n = len(self.index[split][2])
+        return self._batches(split, np.arange(n), self.cfg.batch_size)
+
+    # -- device-side finish -------------------------------------------------
+
+    def device_transform(self, split: str, key, batch):
+        import jax.numpy as jnp
+
+        from surya_tpu.data.augment import augment_batch, eval_preprocess
+
+        images, feats, labels = batch
+        images = jnp.asarray(images, jnp.float32) / 255.0
+        if split == "train" and self.cfg.augment:
+            images = augment_batch(
+                key, images, out_size=self.cfg.image_size,
+                scale_min=self.cfg.rrc_scale_min,
+                hflip_prob=self.cfg.hflip_prob,
+                jitter=(self.cfg.jitter_brightness, self.cfg.jitter_contrast,
+                        self.cfg.jitter_saturation, self.cfg.jitter_hue),
+                rotation_deg=self.cfg.rotation_deg,
+                blur_sigma=(self.cfg.blur_sigma_min,
+                            self.cfg.blur_sigma_max))
+        else:
+            images = eval_preprocess(images, out_size=self.cfg.image_size)
+
+        if self.stats is not None:
+            feats = (self.stats.standardize(feats, labels)
+                     if self.cfg.standardize_features
+                     else self.stats.impute(feats, labels))
+        else:
+            feats = jnp.nan_to_num(jnp.asarray(feats))
+        return images, feats, labels

@@ -61,7 +61,10 @@ class ArrayDataSource:
 
     def eval_batches(self, split: str) -> Iterator[tuple]:
         if split not in self.splits:
-            raise KeyError(split)
+            raise KeyError(split)   # eager: callers probe availability
+        return self._eval_iter(split)
+
+    def _eval_iter(self, split: str) -> Iterator[tuple]:
         imgs, feats, labels = self.splits[split]
         n = len(labels)
         bs = self.batch_size

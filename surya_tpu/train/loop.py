@@ -95,12 +95,14 @@ class Plateau:
 
 
 def evaluate(eval_step, params, batch_stats, batches: Iterable,
-             mesh=None) -> dict:
+             mesh=None, transform=None) -> dict:
     """Run eval over batches; returns loss/accuracy/P/R/F1/confusion."""
     totals = None
     for batch in batches:
         if mesh is not None:
             batch = shard_batch(mesh, batch)
+        if transform is not None:
+            batch = transform(batch)
         out = eval_step(params, batch_stats, batch)
         if totals is None:
             totals = jax.tree.map(np.asarray, jax.device_get(out))
@@ -134,6 +136,9 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
 
     model = get_model(cfg.model)
     sample = next(iter(data.train_batches(0)))
+    if hasattr(data, "device_transform"):
+        sample = data.device_transform("train", prng.named(0, "augment"),
+                                       sample)
     with mesh:
         state, tx = create_train_state(model, cfg, prng.named(0, "init"),
                                        sample)
@@ -161,6 +166,9 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
             losses, accs, seen = [], [], 0
             for batch in data.train_batches(epoch + 1):
                 batch = shard_batch(mesh, batch)
+                if hasattr(data, "device_transform"):
+                    batch = data.device_transform(
+                        "train", prng.named(step_count, "augment"), batch)
                 rng = prng.named(step_count, "dropout")
                 state, m = train_step(state, batch, rng)
                 step_count += 1
@@ -170,8 +178,11 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
             train_loss = float(np.mean(jax.device_get(losses)))
             train_acc = float(np.mean(jax.device_get(accs)))
 
+            eval_tf = (None if not hasattr(data, "device_transform") else
+                       (lambda b: data.device_transform("valid", None, b)))
             val = evaluate(eval_step, state.params, state.batch_stats,
-                           data.eval_batches("valid"), mesh)
+                           data.eval_batches("valid"), mesh,
+                           transform=eval_tf)
             epoch_time = time.time() - t0
 
             current_lr = get_learning_rate(state.opt_state)
@@ -216,13 +227,11 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
         except (KeyError, ValueError):
             test_batches = None
         if test_batches is not None:
-            test = evaluate(eval_step, final_state["params"]
-                            if isinstance(final_state, dict)
-                            else final_state.params,
-                            final_state["batch_stats"]
-                            if isinstance(final_state, dict)
-                            else final_state.batch_stats,
-                            test_batches, mesh)
+            eval_tf = (None if not hasattr(data, "device_transform") else
+                       (lambda b: data.device_transform("test", None, b)))
+            test = evaluate(eval_step, final_state.params,
+                            final_state.batch_stats, test_batches, mesh,
+                            transform=eval_tf)
             logger.log({"event": "test", "test_loss": test["loss"],
                         "test_accuracy": test["accuracy"],
                         "test_precision": test["precision"],
