@@ -1,0 +1,134 @@
+"""CLI: one entry point replacing the reference's nine hand-edited
+scripts (§5.6 — module-level constants become presets + dotted
+overrides).
+
+  python -m surya_tpu list-presets
+  python -m surya_tpu train --preset quadtree-fusion \
+      [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
+  python -m surya_tpu bench
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _build_data(cfg):
+    """Pick the data source: synthetic, sequence (temporal models), or
+    disk (spatial models)."""
+    temporal = cfg.model.name in ("cnn_lstm", "ji_3dcnn", "quadtree_3d",
+                                  "resnet3d_video", "hybrid_quadtree_3d",
+                                  "fact")
+    if cfg.data.synthetic:
+        from surya_tpu.data import (
+            ArrayDataSource,
+            make_synthetic_spatial,
+            make_synthetic_temporal,
+        )
+
+        gen = (make_synthetic_temporal if temporal
+               else make_synthetic_spatial)
+        kw = dict(num_classes=cfg.model.num_classes,
+                  image_size=cfg.data.image_size)
+        if temporal:
+            kw["seq_len"] = cfg.data.seq_len
+        splits = {s: gen(per_class=max(cfg.data.synthetic_size
+                                       // cfg.model.num_classes, 2),
+                         seed=i, **kw)
+                  for i, s in enumerate(("train", "valid", "test"))}
+        return ArrayDataSource(splits, cfg.data.batch_size)
+    if temporal:
+        from surya_tpu.data.sequences import SequenceDataSource
+
+        return SequenceDataSource(cfg.data, seed=cfg.train.seed)
+    from surya_tpu.data.dataset import DiskDataSource
+
+    return DiskDataSource(cfg.data, seed=cfg.train.seed)
+
+
+def cmd_train(argv: list[str]) -> int:
+    import argparse
+
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.core.metrics import MetricsLogger
+    from surya_tpu.train import train_and_evaluate
+
+    ap = argparse.ArgumentParser(prog="surya_tpu train")
+    ap.add_argument("--preset", default="quadtree-fusion")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--out", default="runs/latest")
+    ap.add_argument("--plot", action="store_true")
+    args, rest = ap.parse_known_args(argv)
+
+    cfg = get_preset(args.preset)
+    if args.synthetic:
+        cfg = cfg.override({"data.synthetic": "true"})
+    if rest:
+        cfg = cfg.override(parse_cli_overrides(rest))
+    os.makedirs(args.out, exist_ok=True)
+    cfg = cfg.override(
+        {"train.checkpoint_dir": os.path.join(args.out, "ckpt")})
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    data = _build_data(cfg)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    summary = train_and_evaluate(cfg, data, logger=logger)
+
+    if args.plot:
+        from surya_tpu.utils.plotting import (
+            plot_confusion_matrix,
+            plot_history,
+        )
+
+        plot_history(summary["history"],
+                     os.path.join(args.out, "history.png"),
+                     summary["best_epoch"])
+        if "test" in summary:
+            names = getattr(data, "class_names",
+                            [str(i) for i in
+                             range(cfg.model.num_classes)])
+            plot_confusion_matrix(
+                summary["test"]["confusion"], names,
+                os.path.join(args.out, "confusion.png"))
+    result = {k: v for k, v in summary.get("test", {}).items()
+              if k != "confusion"}
+    print(json.dumps({"best_epoch": summary["best_epoch"],
+                      "best_metric": summary["best_metric"],
+                      "test": result}))
+    return 0
+
+
+def cmd_list_presets() -> int:
+    from surya_tpu.core.config import get_preset, list_presets
+
+    for name in list_presets():
+        cfg = get_preset(name)
+        print(f"{name:28s} model={cfg.model.name:20s} "
+              f"bs={cfg.data.batch_size:<3d} lr={cfg.train.lr:g} "
+              f"epochs={cfg.train.epochs}")
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "train":
+        return cmd_train(argv)
+    if cmd == "list-presets":
+        return cmd_list_presets()
+    if cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+    print(f"unknown command {cmd!r}\n{__doc__}")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,116 @@
+"""Offline Zero123-Plus multiview augmentation stage.
+
+Parity with ``Zero123/batch_aug.py:20-148``: for each clean
+(background-removed) PNG, a diffusion pipeline generates a 3×2 grid of
+novel viewpoints which is sliced into 6 view images
+``<base>_view_%02d.png``; processing resumes by checking the first
+view's existence (``:110-114``). The default 75 inference steps match
+``:136-143`` (CLI ``--steps``).
+
+Diffusion itself stays an optional external stage (``generate_fn``
+injectable; the ``zero123plus_generate_fn`` adapter loads
+``sudo-ai/zero123plus-v1.1`` with the trailing-timestep Euler-Ancestral
+scheduler as in ``:59-67`` — it requires diffusers + a GPU/large host
+and is not exercised on TPU). The grid slicer is pure PIL and fully
+tested.
+
+Usage: python -m surya_tpu.augmentgen.multiview CLEAN_ROOT OUT --steps 75
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+
+def slice_grid_in_memory(grid_img, rows: int = 3, cols: int = 2):
+    """Slice a (rows×cols) tiled image into row-major crops
+    (``batch_aug.py:20-45``)."""
+    w, h = grid_img.size
+    tile_w, tile_h = w // cols, h // rows
+    views = []
+    for r in range(rows):
+        for c in range(cols):
+            box = (c * tile_w, r * tile_h,
+                   (c + 1) * tile_w, (r + 1) * tile_h)
+            views.append(grid_img.crop(box))
+    return views
+
+
+def zero123plus_generate_fn(num_steps: int = 75) -> Callable:
+    try:  # pragma: no cover - heavy optional dependency
+        import torch
+        from diffusers import DiffusionPipeline, EulerAncestralDiscreteScheduler
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "diffusers is required for multiview generation; install it "
+            "or inject generate_fn") from e
+
+    pipeline = DiffusionPipeline.from_pretrained(  # pragma: no cover
+        "sudo-ai/zero123plus-v1.1",
+        custom_pipeline="sudo-ai/zero123plus-pipeline",
+        torch_dtype=torch.float16)
+    pipeline.scheduler = EulerAncestralDiscreteScheduler.from_config(
+        pipeline.scheduler.config,
+        timestep_spacing="trailing")  # pragma: no cover
+
+    def fn(image):  # pragma: no cover
+        return pipeline(image, num_inference_steps=num_steps).images[0]
+
+    return fn
+
+
+def process_augmentation(clean_root: str, out_root: str,
+                         generate_fn: Callable | None = None,
+                         num_steps: int = 75, rows: int = 3,
+                         cols: int = 2,
+                         splits=("train", "valid", "test")) -> dict:
+    """Walk <clean_root>/<split>/<label>/*.png; write 6 view crops per
+    image under the same relative layout. Resumable via the first view's
+    existence. Returns {split: {"generated": n, "skipped": n}}."""
+    from PIL import Image
+
+    generate_fn = generate_fn or zero123plus_generate_fn(num_steps)
+    report: dict = {}
+    n_views = rows * cols
+    for split in splits:
+        split_dir = os.path.join(clean_root, split)
+        if not os.path.isdir(split_dir):
+            continue
+        generated = skipped = 0
+        for label in sorted(os.listdir(split_dir)):
+            ldir = os.path.join(split_dir, label)
+            if not os.path.isdir(ldir):
+                continue
+            out_dir = os.path.join(out_root, split, label)
+            os.makedirs(out_dir, exist_ok=True)
+            for fname in sorted(os.listdir(ldir)):
+                if not fname.lower().endswith(".png"):
+                    continue
+                base = os.path.splitext(fname)[0]
+                first = os.path.join(out_dir, f"{base}_view_01.png")
+                if os.path.exists(first):   # resume (ref :110-114)
+                    skipped += 1
+                    continue
+                with Image.open(os.path.join(ldir, fname)) as im:
+                    grid = generate_fn(im.convert("RGB"))
+                for vi, view in enumerate(
+                        slice_grid_in_memory(grid, rows, cols)):
+                    view.save(os.path.join(
+                        out_dir, f"{base}_view_{vi + 1:02d}.png"))
+                generated += 1
+        report[split] = {"generated": generated, "skipped": skipped,
+                         "views_per_image": n_views}
+    return report
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("clean_root")
+    ap.add_argument("out_root")
+    ap.add_argument("--steps", type=int, default=75)
+    args = ap.parse_args()
+    print(process_augmentation(args.clean_root, args.out_root,
+                               num_steps=args.steps))
