@@ -29,7 +29,7 @@ def main() -> None:
     from surya_tpu.models import get_model
     from surya_tpu.train.steps import create_train_state, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 

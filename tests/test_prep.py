@@ -201,3 +201,43 @@ def test_reorganize_to_flat(tmp_path):
     assert counts["train"] == 3
     files = os.listdir(os.path.join(out, "train", "cobra"))
     assert "sequence_00000_f0.jpg" in files
+
+
+def test_sequence_features_csv(tmp_path):
+    from PIL import Image
+
+    from surya_tpu.data.prep.frame_renaming import rename_frames
+    from surya_tpu.data.prep.sequence_features import process_image_sequences
+    from surya_tpu.features.pose_extended import FEATURE_NAMES_EXTENDED
+
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw" / "train" / "clip_a"
+    raw.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                     np.uint8)).save(
+            raw / f"vid-{i:05d}_jpg.rf.h.jpg")
+    renamed = str(tmp_path / "renamed")
+    rename_frames(str(tmp_path / "raw"), renamed)
+
+    def fake_extractor(p):
+        lm = rng.uniform(0.2, 0.8, (33, 4)).astype(np.float32)
+        lm[:, 3] = 0.9
+        return lm, True
+
+    out = str(tmp_path / "processed")
+    rep = process_image_sequences(renamed, out,
+                                  extractor=fake_extractor,
+                                  annotate=True)
+    assert rep["train"]["clip_a"] == 4
+    csv_path = os.path.join(out, "train", "clip_a_features.csv")
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert set(FEATURE_NAMES_EXTENDED) <= set(rows[0])
+    assert rows[2]["frame_index"] == "2"
+    # dynamics are NaN for the first two frames, present from frame 2
+    assert rows[0]["LM0_vx_px"] == "nan"
+    assert rows[2]["LM0_vx_px"] != "nan"
+    ann = os.path.join(out, "train", "clip_a_annotated_images")
+    assert len(os.listdir(ann)) == 4
