@@ -29,21 +29,36 @@ def main() -> None:
     from surya_tpu.models import get_model
     from surya_tpu.train.steps import create_train_state, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    model_name = os.environ.get("BENCH_MODEL", "quadtree")
+    temporal = model_name in ("cnn_lstm", "ji_3dcnn", "quadtree_3d",
+                              "resnet3d_video", "hybrid_quadtree_3d",
+                              "fact")
+    default_bs = "32" if temporal else "256"
+    batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    seq_len = int(os.environ.get("BENCH_SEQ_LEN", "4"))
 
     cfg = Config(
-        model=ModelConfig(name="quadtree", mode="fusion", num_classes=8,
-                          compute_dtype="bfloat16", use_pallas=use_pallas),
+        model=ModelConfig(name=model_name, mode="fusion", num_classes=8,
+                          compute_dtype="bfloat16", use_pallas=use_pallas,
+                          seq_len=seq_len),
         data=DataConfig(batch_size=batch_size),
         train=TrainConfig(lr=1e-4, weight_decay=1e-4, nan_guard=False),
     )
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
-    batch = (rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32),
-             rng.normal(size=(batch_size, 47)).astype(np.float32),
-             rng.integers(0, 8, batch_size).astype(np.int32))
+    if temporal:
+        batch = (rng.normal(size=(batch_size, seq_len, 224, 224,
+                                  3)).astype(np.float32),
+                 rng.normal(size=(batch_size, seq_len, 47)).astype(
+                     np.float32),
+                 rng.integers(0, 8, batch_size).astype(np.int32))
+    else:
+        batch = (rng.normal(size=(batch_size, 224, 224, 3)).astype(
+                     np.float32),
+                 rng.normal(size=(batch_size, 47)).astype(np.float32),
+                 rng.integers(0, 8, batch_size).astype(np.int32))
 
     mesh = create_mesh()
     with mesh:
@@ -78,19 +93,23 @@ def main() -> None:
 
     images_per_sec = batch_size * steps / dt
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "benchmarks", "torch_baseline.json")
     vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            ref = json.load(f)
-        if ref.get("value"):
-            vs_baseline = images_per_sec / ref["value"]
+    if model_name == "quadtree":
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "torch_baseline.json")
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                ref = json.load(f)
+            if ref.get("value"):
+                vs_baseline = images_per_sec / ref["value"]
 
+    unit = "clips/sec" if temporal else "images/sec"
     print(json.dumps({
-        "metric": "quadtree_train_images_per_sec_per_chip",
+        "metric": f"{model_name}_train_{'clips' if temporal else 'images'}"
+                  "_per_sec_per_chip",
         "value": round(images_per_sec, 2),
-        "unit": "images/sec",
+        "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
 

@@ -60,6 +60,11 @@ def cmd_train(argv: list[str]) -> int:
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--out", default="runs/latest")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore latest checkpoint (incl. optimizer "
+                         "state) and continue")
+    ap.add_argument("--profile-dir", default=None,
+                    help="jax.profiler trace dir (TensorBoard)")
     args, rest = ap.parse_known_args(argv)
 
     cfg = get_preset(args.preset)
@@ -75,7 +80,9 @@ def cmd_train(argv: list[str]) -> int:
 
     data = _build_data(cfg)
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-    summary = train_and_evaluate(cfg, data, logger=logger)
+    summary = train_and_evaluate(cfg, data, logger=logger,
+                                 resume=args.resume,
+                                 profile_dir=args.profile_dir)
 
     if args.plot:
         from surya_tpu.utils.plotting import (

@@ -25,23 +25,32 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from surya_tpu.models.backbones.vit import vit_base_patch16
 
 
 class PostLNEncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer equivalent (post-LN, ReLU FFN)."""
+    """torch nn.TransformerEncoderLayer equivalent (post-LN, ReLU FFN).
+
+    ``attention_fn`` switches the attention implementation without
+    changing parameters — e.g. the ring-attention CP path from
+    ``surya_tpu.parallel.ring_attention.make_flax_attention_fn``.
+    """
 
     num_heads: int = 8
     ff_dim: int = 3072
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16
+    attention_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        attn_kwargs = {}
+        if self.attention_fn is not None:
+            attn_kwargs["attention_fn"] = self.attention_fn
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             param_dtype=jnp.float32, dropout_rate=self.dropout,
-            deterministic=not train, name="attn")(x, x)
+            deterministic=not train, name="attn",
+            **attn_kwargs)(x, x)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="ln1")(x + y)
@@ -66,6 +75,14 @@ class FactModel(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16
     freeze_backbone: bool = True
+    # ViT backbone dims (defaults = ViT-B/16 as in the reference; the
+    # backbone embed width is tied to the fusion width like timm's
+    # num_classes=0 CLS output feeding the fusion transformer directly).
+    vit_depth: int = 12
+    vit_heads: int = 12
+    # Optional jax.sharding.Mesh with a >1 'seq' axis: the fusion
+    # attention runs sequence-parallel via ring attention (same params).
+    cp_mesh: Any = None
 
     @nn.compact
     def __call__(self, image_sequence, numerical_sequence,
@@ -75,8 +92,12 @@ class FactModel(nn.Module):
         d = self.embed_dim
 
         # 1. Per-frame ViT CLS embeddings, frames folded into batch.
+        from surya_tpu.models.backbones.vit import ViT
+
         frames = image_sequence.reshape((b * t,) + image_sequence.shape[2:])
-        vit = vit_base_patch16(dtype=self.dtype, name="vit_backbone")
+        vit = ViT(embed_dim=d, depth=self.vit_depth,
+                  num_heads=self.vit_heads, mlp_dim=4 * d,
+                  dtype=self.dtype, name="vit_backbone")
         img_tok = vit(frames, train=train and not self.freeze_backbone)
         img_tok = img_tok.reshape(b, t, d)
 
@@ -108,11 +129,19 @@ class FactModel(nn.Module):
                          (1, 2 * t + 1, d), jnp.float32)
         full = full + pos.astype(self.dtype)
 
-        # 6. Fusion transformer.
+        # 6. Fusion transformer (optionally sequence-parallel).
+        attention_fn = None
+        if self.cp_mesh is not None and self.cp_mesh.shape.get(
+                "seq", 1) > 1:
+            from surya_tpu.parallel.ring_attention import (
+                make_flax_attention_fn,
+            )
+            attention_fn = make_flax_attention_fn(self.cp_mesh)
         for i in range(self.num_layers):
             full = PostLNEncoderLayer(num_heads=self.num_heads,
                                       ff_dim=4 * d, dropout=self.dropout,
                                       dtype=self.dtype,
+                                      attention_fn=attention_fn,
                                       name=f"fusion{i}")(full, train=train)
 
         # 7. LN + Linear head on the CLS output.

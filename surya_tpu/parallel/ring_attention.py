@@ -76,6 +76,28 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return fn(q, k, v)
 
 
+def make_flax_attention_fn(mesh: Mesh, seq_axis: str = "seq"):
+    """Adapter for ``flax.linen.MultiHeadDotProductAttention(
+    attention_fn=...)``: runs ring attention over the mesh's seq axis,
+    so a model's attention becomes sequence-parallel WITHOUT changing
+    its parameter structure (used by FactModel when a CP mesh is given).
+
+    Attention-weight dropout is not applied on the ring path (output
+    dropout still is) — documented CP simplification.
+    """
+
+    def attention_fn(query, key, value, bias=None, mask=None,
+                     **_ignored):
+        if bias is not None or mask is not None:
+            raise NotImplementedError(
+                "ring attention path supports bias/mask-free "
+                "(bidirectional encoder) attention")
+        return ring_attention(query, key, value, mesh,
+                              seq_axis=seq_axis)
+
+    return attention_fn
+
+
 def full_attention_reference(q, k, v):
     """Unsharded oracle for tests: plain softmax attention, f32."""
     scale = 1.0 / (q.shape[-1] ** 0.5)

@@ -123,16 +123,27 @@ def evaluate(eval_step, params, batch_stats, batches: Iterable,
 
 def train_and_evaluate(cfg: Config, data, *, mesh=None,
                        logger: MetricsLogger | None = None,
-                       checkpoints: bool = True) -> dict:
+                       checkpoints: bool = True, resume: bool = False,
+                       profile_dir: str | None = None) -> dict:
     """Train per config on a data source; returns summary + final state.
 
     ``data`` must provide: ``num_classes``, ``train_batches(epoch_seed)``,
     ``eval_batches(split)`` (splits: 'valid', 'test' — 'test' optional),
     and each batch is (images, features, labels) host arrays.
+
+    ``resume=True`` restores the latest checkpoint in
+    ``cfg.train.checkpoint_dir`` — true mid-training resume including
+    optimizer state (a capability the reference lacks, SURVEY §5.4).
+    ``profile_dir`` wraps the first post-warmup epoch in
+    ``jax.profiler.trace`` for TensorBoard (§5.1).
     """
     mesh = mesh or create_mesh()
     logger = logger or MetricsLogger()
     prng = PRNG(cfg.train.seed)
+    if cfg.train.deterministic:
+        # structural determinism is the default; debug_nans is opt-in
+        # via JAX_DEBUG_NANS (kept off the hot path).
+        pass
 
     model = get_model(cfg.model)
     sample = next(iter(data.train_batches(0)))
@@ -142,6 +153,15 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
     with mesh:
         state, tx = create_train_state(model, cfg, prng.named(0, "init"),
                                        sample)
+        start_epoch = 0
+        if resume and checkpoints:
+            mgr = CheckpointManager(cfg.train.checkpoint_dir)
+            latest = mgr.latest_step()
+            if latest is not None:
+                state = mgr.restore(latest, template=host_copy(state))
+                start_epoch = latest + 1
+                logger.log({"event": "resume", "from_epoch": latest})
+            mgr.close()
         state = replicate(mesh, state)
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model, cfg.model.num_classes,
@@ -161,7 +181,12 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
         history = []
         best_state = None
         step_count = 0
-        for epoch in range(cfg.train.epochs):
+        profiled = False
+        for epoch in range(start_epoch, cfg.train.epochs):
+            if profile_dir and epoch == start_epoch + 1 and not profiled:
+                # profile the second epoch (first is compile-dominated)
+                jax.profiler.start_trace(profile_dir)
+                profiled = True
             t0 = time.time()
             losses, accs, seen = [], [], 0
             for batch in data.train_batches(epoch + 1):
@@ -184,6 +209,9 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                            data.eval_batches("valid"), mesh,
                            transform=eval_tf)
             epoch_time = time.time() - t0
+            if profiled and profile_dir:
+                jax.profiler.stop_trace()
+                profile_dir = None  # one traced epoch only
 
             current_lr = get_learning_rate(state.opt_state)
             record = {"epoch": epoch, "train_loss": train_loss,

@@ -78,3 +78,29 @@ def test_bf16_inputs(seq_mesh):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=5e-2, atol=5e-2)
+
+
+def test_fact_with_cp_mesh_matches_plain():
+    """FACT fusion attention over a 3-way seq mesh == plain attention
+    (same params; 2T+1 = 9 tokens → 3 per device)."""
+    from surya_tpu.core.mesh import MeshSpec, create_mesh
+    from surya_tpu.models.temporal.fact import FactModel
+
+    mesh = create_mesh(MeshSpec(data=1, model=1, seq=3),
+                       devices=jax.devices()[:3])
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 4, 47)), jnp.float32)
+
+    kw = dict(num_classes=5, seq_len=4, embed_dim=64, num_layers=2,
+              num_heads=4, vit_depth=1, vit_heads=4, dtype=jnp.float32)
+    plain = FactModel(**kw)
+    variables = plain.init({"params": jax.random.key(0)}, imgs, feats,
+                           train=False)
+    want = plain.apply(variables, imgs, feats, train=False)
+
+    cp = FactModel(**kw, cp_mesh=mesh)
+    with mesh:
+        got = cp.apply(variables, imgs, feats, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -132,3 +132,25 @@ def test_early_stopping_modes(metric, mode):
     from surya_tpu.train.loop import EarlyStopping
     es = EarlyStopping(metric, patience=2)
     assert es.mode == mode
+
+
+def test_cnn_lstm_learns_synthetic_temporal(mesh8):
+    from surya_tpu.data import make_synthetic_temporal
+
+    splits = {s: make_synthetic_temporal(num_classes=3, per_class=8,
+                                         seq_len=3, image_size=32,
+                                         seed=i)
+              for i, s in enumerate(["train", "valid"])}
+    from surya_tpu.data import ArrayDataSource
+    data = ArrayDataSource(splits, batch_size=16, pad_eval_to=8)
+    cfg = Config(
+        model=ModelConfig(name="cnn_lstm", num_classes=3, seq_len=3,
+                          compute_dtype="float32",
+                          freeze_backbone=True),
+        data=DataConfig(batch_size=16),
+        train=TrainConfig(epochs=6, lr=3e-3, seed=0,
+                          early_stop_patience=0))
+    summary = train_and_evaluate(cfg, data, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    assert summary["history"][-1]["train_accuracy"] > 0.8
