@@ -108,6 +108,34 @@ def cmd_train(argv: list[str]) -> int:
     return 0
 
 
+def cmd_eval(argv: list[str]) -> int:
+    """Evaluate a checkpoint on a split (evaluate_model_cnn.py parity)."""
+    import argparse
+
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.train.compare import evaluate_checkpoint
+
+    ap = argparse.ArgumentParser(prog="surya_tpu eval")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--preset", default="quadtree-fusion")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--synthetic", action="store_true")
+    args, rest = ap.parse_known_args(argv)
+    cfg = get_preset(args.preset)
+    if args.synthetic:
+        cfg = cfg.override({"data.synthetic": "true"})
+    if rest:
+        cfg = cfg.override(parse_cli_overrides(rest))
+    data = _build_data(cfg)
+    variables = load_checkpoint_variables(args.checkpoint)
+    out = evaluate_checkpoint(cfg, variables, data, split=args.split)
+    print(json.dumps({k: (float(v) if not hasattr(v, "tolist")
+                          else v.tolist())
+                      for k, v in out.items() if k != "confusion"}))
+    return 0
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -126,6 +154,8 @@ def main() -> int:
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "train":
         return cmd_train(argv)
+    if cmd == "eval":
+        return cmd_eval(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
     if cmd == "bench":

@@ -65,6 +65,25 @@ def load_params(path: str, template=None):
     return ckptr.restore(os.path.abspath(path))
 
 
+def load_checkpoint_variables(path: str) -> dict:
+    """Load {'params', 'batch_stats'} from either a params-only save
+    (``save_params``) or a CheckpointManager directory (latest step)."""
+    path = os.path.abspath(path)
+    entries = os.listdir(path) if os.path.isdir(path) else []
+    step_dirs = [e for e in entries if e.isdigit()]
+    if step_dirs:
+        mgr = CheckpointManager(path)
+        state = mgr.restore(mgr.latest_step())
+        mgr.close()
+        return {"params": state["params"],
+                "batch_stats": state.get("batch_stats", {})}
+    tree = load_params(path)
+    if "params" in tree:
+        return {"params": tree["params"],
+                "batch_stats": tree.get("batch_stats", {})}
+    return {"params": tree, "batch_stats": {}}
+
+
 def host_copy(tree):
     """Fetch a (possibly sharded) pytree to host numpy for saving."""
     return jax.tree.map(lambda x: jax.device_get(x), tree)
