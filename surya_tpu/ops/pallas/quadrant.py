@@ -119,16 +119,28 @@ def _lax_reference(fmap, kernel, bias):
     return quadrant_flatten(q, b)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 @jax.custom_vjp
 def quadrant_process(fmap: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray) -> jnp.ndarray:
-    """Fused Pallas forward; gradients flow through the (mathematically
-    identical) lax formulation."""
+    """Fused Pallas forward (TPU); falls back to the mathematically
+    identical lax formulation on other backends (CPU tests, fake mesh).
+    Gradients always flow through the lax formulation."""
+    if not _on_tpu():
+        return _lax_reference(fmap, kernel, bias)
     return _quadrant_process_impl(fmap, kernel, bias)
 
 
 def _quadrant_fwd(fmap, kernel, bias):
-    return _quadrant_process_impl(fmap, kernel, bias), (fmap, kernel, bias)
+    out = (_quadrant_process_impl(fmap, kernel, bias) if _on_tpu()
+           else _lax_reference(fmap, kernel, bias))
+    return out, (fmap, kernel, bias)
 
 
 def _quadrant_bwd(res, g):

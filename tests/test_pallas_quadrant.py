@@ -30,7 +30,7 @@ def _lax_reference(fmap, kernel, bias):
                                           (3, 28, 32, 16),
                                           (8, 8, 16, 8)])
 def test_matches_lax_path(b, h, cin, cout):
-    from surya_tpu.ops.pallas.quadrant import quadrant_process
+    from surya_tpu.ops.pallas.quadrant import _quadrant_process_impl
 
     rng = np.random.default_rng(0)
     fmap = jnp.asarray(rng.normal(size=(b, h, h, cin)), jnp.float32)
@@ -39,8 +39,10 @@ def test_matches_lax_path(b, h, cin, cout):
     bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
 
     want = _lax_reference(fmap, kernel, bias)
+    # exercise the ACTUAL kernel in interpret mode (quadrant_process
+    # would take its lax fallback on the CPU backend)
     with pltpu.force_tpu_interpret_mode():
-        got = quadrant_process(fmap, kernel, bias)
+        got = _quadrant_process_impl(fmap, kernel, bias)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
@@ -50,7 +52,7 @@ def test_zero_padding_at_quadrant_borders():
     """Conv must zero-pad each QUADRANT independently (not see across the
     quadrant boundary) — the semantic the reference's per-quadrant conv
     has and a full-map conv would violate."""
-    from surya_tpu.ops.pallas.quadrant import quadrant_process
+    from surya_tpu.ops.pallas.quadrant import _quadrant_process_impl
 
     # all-ones map: a cross-boundary leak would change border sums.
     fmap = jnp.ones((1, 8, 8, 4), jnp.float32)
@@ -58,7 +60,7 @@ def test_zero_padding_at_quadrant_borders():
     bias = jnp.zeros((4,), jnp.float32)
     want = _lax_reference(fmap, kernel, bias)
     with pltpu.force_tpu_interpret_mode():
-        got = quadrant_process(fmap, kernel, bias)
+        got = _quadrant_process_impl(fmap, kernel, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
