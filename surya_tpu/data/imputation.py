@@ -69,11 +69,14 @@ class ClassFeatureStats:
 
     def standardize(self, features: jnp.ndarray,
                     labels: jnp.ndarray) -> jnp.ndarray:
-        """(x − μ_c) / (σ_c + 1e-6) after imputation."""
+        """(x − μ_c) / (σ_c + 1e-6) after imputation; features with
+        σ_c < 1e-6 standardize to 0 (3dcnn/dataloaders.py:204-207)."""
         if self.stds is None:
             raise ValueError("no stds loaded")
         x = self.impute(features, labels)
-        return (x - self.means[labels]) / (self.stds[labels] + 1e-6)
+        std = self.stds[labels]
+        z = (x - self.means[labels]) / (std + 1e-6)
+        return jnp.where(std < 1e-6, 0.0, z)
 
 
 def compute_class_stats(features: np.ndarray, labels: np.ndarray,

@@ -94,9 +94,18 @@ def load_labels(csv_paths: list[str]) -> dict[str, str]:
 def prepare_still_image_dataset(
         renamed_root: str, out_root: str, label_csvs: list[str],
         extractor: LandmarkExtractor | None = None,
-        batch_features: Callable = None) -> dict:
+        feature_set: str = "47") -> dict:
     """Returns per-split image counts. Resumable: existing outputs are
-    overwritten (copy) — deterministic re-runs converge."""
+    overwritten (copy) — deterministic re-runs converge.
+
+    ``feature_set='extended'`` saves the 443-feature extended vectors
+    instead (parity with ``img process/analyze_flat_image_counts.py``,
+    whose flat prep keeps inter-frame velocity state per clip —
+    naturally covered here because features are computed over the whole
+    clip sequence at once).
+    """
+    if feature_set not in ("47", "extended"):
+        raise ValueError("feature_set must be '47' or 'extended'")
     extractor = extractor or mediapipe_extractor()
     labels = load_labels(label_csvs)
     classes = sorted(set(labels.values()))
@@ -139,8 +148,21 @@ def prepare_still_image_dataset(
 
             # Batched feature math — ONE jnp program per clip.
             import jax.numpy as jnp
-            feats = np.asarray(extract_features_47(
-                jnp.asarray(lms), jnp.asarray(detected)))
+            if feature_set == "47":
+                feats = np.asarray(extract_features_47(
+                    jnp.asarray(lms), jnp.asarray(detected)))
+            else:
+                from PIL import Image
+
+                from surya_tpu.features.pose_extended import (
+                    extract_features_extended,
+                )
+                with Image.open(os.path.join(
+                        clip_dir, todo[0][1])) as im:
+                    w0, h0 = im.size
+                feats = np.array(extract_features_extended(
+                    jnp.asarray(lms), float(w0), float(h0)))
+                feats[~detected] = np.nan
 
             for j, (i, fname, label) in enumerate(todo):
                 dest_dir = os.path.join(out_root, split, label)
@@ -156,18 +178,26 @@ def prepare_still_image_dataset(
                     train_stats.setdefault(label, []).append(feats[j])
 
     # Per-class per-feature NaN-aware stats (``:323-349``).
+    if feature_set == "47":
+        feature_names = FEATURE_NAMES_47
+    else:
+        from surya_tpu.features.pose_extended import (
+            FEATURE_NAMES_EXTENDED,
+        )
+        feature_names = FEATURE_NAMES_EXTENDED
+    nf = len(feature_names)
     means: dict = {}
     stds: dict = {}
     for label in classes:
         rows = np.stack(train_stats[label]) if label in train_stats \
-            else np.zeros((0, 47), np.float32)
+            else np.zeros((0, nf), np.float32)
         with np.errstate(all="ignore"):
-            m = np.nanmean(rows, axis=0) if len(rows) else np.zeros(47)
-            s = np.nanstd(rows, axis=0) if len(rows) else np.ones(47)
+            m = np.nanmean(rows, axis=0) if len(rows) else np.zeros(nf)
+            s = np.nanstd(rows, axis=0) if len(rows) else np.ones(nf)
         means[label] = {n: float(np.nan_to_num(v))
-                        for n, v in zip(FEATURE_NAMES_47, m)}
+                        for n, v in zip(feature_names, m)}
         stds[label] = {n: float(np.nan_to_num(v))
-                       for n, v in zip(FEATURE_NAMES_47, s)}
+                       for n, v in zip(feature_names, s)}
     with open(os.path.join(out_root, "class_feature_means.json"),
               "w") as f:
         json.dump(means, f, indent=2)

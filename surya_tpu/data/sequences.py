@@ -138,10 +138,23 @@ class SequenceDataSource:
     label) from the ``.npz`` window layout."""
 
     def __init__(self, cfg: DataConfig, seed: int = 0,
-                 splits=("train", "valid", "test")):
+                 splits=("train", "valid", "test"), stats=None):
         self.cfg = cfg
         self.seed = seed
+        # per-class stats for the 3dcnn-style per-timestep
+        # standardization (3dcnn/dataloaders.py:186-211)
+        self.stats = stats
         root = cfg.seq_root
+        if stats is None and cfg.standardize_features:
+            import os as _os
+
+            from surya_tpu.data.imputation import ClassFeatureStats
+
+            means = _os.path.join(root, "class_feature_means.json")
+            stds = _os.path.join(root, "class_feature_stds.json")
+            if _os.path.exists(means):
+                self.stats = ClassFeatureStats.from_json(
+                    means, stds if _os.path.exists(stds) else None)
         with open(os.path.join(root, "class_to_idx.json")) as f:
             self.class_to_idx = json.load(f)
         self.class_names = sorted(self.class_to_idx,
@@ -202,11 +215,21 @@ class SequenceDataSource:
 
     def device_transform(self, split: str, key, batch):
         """uint8 frames → normalized float (no augmentation — the
-        reference's sequence loader uses pre-baked transforms only)."""
+        reference's sequence loader uses pre-baked transforms only);
+        optional per-timestep feature standardization (3dcnn loader
+        semantics: NaN → class mean, then (x−μ_c)/σ_c with σ<1e-6 → 0)."""
         import jax.numpy as jnp
 
         from surya_tpu.data.augment import normalize
 
         imgs, feats, labels = batch
         imgs = normalize(jnp.asarray(imgs, jnp.float32) / 255.0)
-        return imgs, jnp.asarray(feats), labels
+        feats = jnp.asarray(feats)
+        if self.stats is not None and self.cfg.standardize_features:
+            # labels broadcast over the time axis: (B,) → (B, T)
+            lab = jnp.asarray(labels)[:, None]
+            lab = jnp.broadcast_to(lab, feats.shape[:2])
+            feats = self.stats.standardize(feats, lab)
+        else:
+            feats = jnp.nan_to_num(feats)
+        return imgs, feats, labels

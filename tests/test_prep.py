@@ -241,3 +241,64 @@ def test_sequence_features_csv(tmp_path):
     assert rows[2]["LM0_vx_px"] != "nan"
     ann = os.path.join(out, "train", "clip_a_annotated_images")
     assert len(os.listdir(ann)) == 4
+
+
+def test_still_image_prep_extended(raw_tree, tmp_path):
+    from surya_tpu.data.prep.still_image_dataset import (
+        prepare_still_image_dataset,
+    )
+
+    raw, originals = raw_tree
+    renamed = str(tmp_path / "renamed")
+    rename_frames(raw, renamed)
+    label_csv = tmp_path / "labels.csv"
+    with open(label_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["filename", "label"])
+        w.writeheader()
+        for (split, clip), names in originals.items():
+            for nm in names:
+                w.writerow({"filename": nm, "label": "cobra"})
+
+    out = str(tmp_path / "flat_ext")
+    counts = prepare_still_image_dataset(
+        renamed, out, [str(label_csv)], extractor=_fake_extractor,
+        feature_set="extended")
+    assert counts["train"] == 6
+    npys = [f for f in os.listdir(os.path.join(out, "train", "cobra"))
+            if f.endswith(".npy")]
+    arr = np.load(os.path.join(out, "train", "cobra", npys[0]))
+    assert arr.shape == (443,)
+    with open(os.path.join(out, "class_feature_means.json")) as f:
+        means = json.load(f)
+    assert len(means["cobra"]) == 443
+
+
+def test_sequence_standardization(tmp_path):
+    import jax
+
+    from surya_tpu.core.config import DataConfig
+    from surya_tpu.data.imputation import ClassFeatureStats
+    from surya_tpu.data.sequences import SequenceDataSource
+
+    # minimal .npz windows + class map
+    import json as _json
+    root = tmp_path / "seq"
+    (root / "train" / "cobra").mkdir(parents=True)
+    (root / "class_to_idx.json").write_text(_json.dumps({"cobra": 0}))
+    rng = np.random.default_rng(0)
+    np.savez_compressed(
+        root / "train" / "cobra" / "w0.npz",
+        image_sequence=rng.integers(0, 255, (4, 8, 8, 3), np.uint8),
+        numerical_sequence=np.full((4, 47), 5.0, np.float32),
+        label=0, video_clip="c", view_id="01")
+
+    means = np.full((1, 47), 3.0, np.float32)
+    stds = np.full((1, 47), 2.0, np.float32)
+    stats = ClassFeatureStats(means, stds, ["cobra"])
+    cfg = DataConfig(seq_root=str(root), seq_len=4, batch_size=1,
+                     image_size=8, standardize_features=True)
+    src = SequenceDataSource(cfg, splits=("train",), stats=stats)
+    batch = next(iter(src.train_batches(0)))
+    out = src.device_transform("train", jax.random.key(0), batch)
+    # (5 - 3) / (2 + 1e-6) ≈ 1.0 per timestep
+    np.testing.assert_allclose(np.asarray(out[1]), 1.0, rtol=1e-4)
