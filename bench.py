@@ -60,12 +60,28 @@ def main() -> None:
                  rng.normal(size=(batch_size, 47)).astype(np.float32),
                  rng.integers(0, 8, batch_size).astype(np.int32))
 
+    infer_mode = os.environ.get("BENCH_MODE", "train") == "infer"
     mesh = create_mesh()
     with mesh:
         state, tx = create_train_state(model, cfg, PRNG(0).named(0, "init"),
                                        batch)
         state = replicate(mesh, state)
-        step = make_train_step(model, tx, cfg)
+        if infer_mode:
+            def step(state, batch, key):
+                # thread the carry into the input so XLA cannot hoist
+                # the loop-invariant forward out of the timing loop
+                images, feats, _ = batch
+                images = images + state.step.astype(images.dtype) * 1e-18
+                logits = model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    images, feats, train=False)
+                new_state = state.replace(
+                    step=state.step
+                    + jnp.max(logits).astype(jnp.int32) * 0 + 1)
+                return new_state, {"loss": logits.sum()}
+        else:
+            step = make_train_step(model, tx, cfg)
         sharded = shard_batch(mesh, batch)
         key = PRNG(0).named(0, "dropout")
 
@@ -94,7 +110,7 @@ def main() -> None:
     images_per_sec = batch_size * steps / dt
 
     vs_baseline = None
-    if model_name == "quadtree":
+    if model_name == "quadtree" and not infer_mode:
         baseline_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "benchmarks", "torch_baseline.json")
@@ -105,9 +121,10 @@ def main() -> None:
                 vs_baseline = images_per_sec / ref["value"]
 
     unit = "clips/sec" if temporal else "images/sec"
+    phase = "infer" if infer_mode else "train"
     print(json.dumps({
-        "metric": f"{model_name}_train_{'clips' if temporal else 'images'}"
-                  "_per_sec_per_chip",
+        "metric": f"{model_name}_{phase}_"
+                  f"{'clips' if temporal else 'images'}_per_sec_per_chip",
         "value": round(images_per_sec, 2),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

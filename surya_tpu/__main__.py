@@ -148,6 +148,9 @@ def cmd_list_presets() -> int:
 
 
 def main() -> int:
+    from surya_tpu.core.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host (DCN) when configured
     if len(sys.argv) < 2:
         print(__doc__)
         return 1

@@ -80,11 +80,16 @@ class DiskDataSource:
     def __init__(self, cfg: DataConfig, splits=("train", "valid", "test"),
                  stats: ClassFeatureStats | None = None,
                  staging_size: int = 256, num_threads: int = 8,
-                 seed: int = 0):
+                 seed: int = 0, use_native: bool = True):
         self.cfg = cfg
         self.staging = staging_size
         self.num_threads = num_threads
         self.seed = seed
+        # C++ libjpeg batch decoder (surya_tpu.native) when buildable;
+        # PIL fallback otherwise. Filter note: native/cv2-style bilinear
+        # point-samples; PIL BILINEAR anti-aliases on downscale — a
+        # benign train-time filter difference.
+        self.use_native = use_native
         self.index = {}
         for s in splits:
             try:
@@ -109,11 +114,22 @@ class DiskDataSource:
 
     def _load_batch(self, split: str, idx: np.ndarray):
         paths, fpaths, labels, _ = self.index[split]
-        imgs = np.empty((len(idx), self.staging, self.staging, 3),
-                        np.uint8)
+        batch_paths = [paths[i] for i in idx]
+        imgs = None
+        if self.use_native and all(
+                p.lower().endswith((".jpg", ".jpeg"))
+                for p in batch_paths):
+            from surya_tpu import native
+
+            if native.available():
+                imgs, _ = native.decode_batch(batch_paths, self.staging)
+        if imgs is None:
+            imgs = np.empty((len(idx), self.staging, self.staging, 3),
+                            np.uint8)
+            for j, p in enumerate(batch_paths):
+                imgs[j] = _decode(p, self.staging)
         feats = np.empty((len(idx), 47), np.float32)
         for j, i in enumerate(idx):
-            imgs[j] = _decode(paths[i], self.staging)
             feats[j] = np.load(fpaths[i]).astype(np.float32)
         return imgs, feats, labels[idx]
 

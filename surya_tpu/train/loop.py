@@ -200,6 +200,12 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                 seen += int(np.shape(batch[2])[0])
                 losses.append(m["loss"])
                 accs.append(m["accuracy"])
+                if (cfg.train.log_every > 0
+                        and step_count % cfg.train.log_every == 0):
+                    logger.log({"step": step_count, "epoch": epoch,
+                                "loss": float(jax.device_get(m["loss"])),
+                                "accuracy": float(jax.device_get(
+                                    m["accuracy"]))})
             train_loss = float(np.mean(jax.device_get(losses)))
             train_acc = float(np.mean(jax.device_get(accs)))
 

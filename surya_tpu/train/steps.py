@@ -124,6 +124,11 @@ def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
             rngs={"dropout": rng}, mutable=["batch_stats"])
         return logits, updated.get("batch_stats", batch_stats)
 
+    if cfg.train.remat:
+        # rematerialize the forward in the backward pass: trades FLOPs
+        # for HBM (activation memory), enabling larger batches
+        apply = jax.checkpoint(apply)
+
     def step(state: TrainState, batch, rng):
         images, feats, labels = batch
 

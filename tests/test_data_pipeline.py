@@ -168,3 +168,28 @@ def test_disk_source_end_to_end(disk_dataset, mesh8):
                                  checkpoints=False)
     assert "test" in summary
     assert np.isfinite(summary["history"][0]["val_loss"])
+
+
+def test_native_decoder_if_available(tmp_path):
+    from PIL import Image
+
+    from surya_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"i{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (40, 60, 3),
+                                     np.uint8)).save(p, quality=95)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.jpg"))
+    out, ok = native.decode_batch(paths, 32)
+    assert out.shape == (5, 32, 32, 3) and ok == 4
+    assert out[-1].sum() == 0  # failed slot zero-filled
+    # pixel sanity vs PIL (different bilinear filters: loose bound)
+    with Image.open(paths[0]) as im:
+        ref = np.asarray(im.convert("RGB").resize((32, 32),
+                                                  Image.BILINEAR))
+    assert np.mean(np.abs(ref.astype(int) - out[0].astype(int))) < 40

@@ -154,3 +154,35 @@ def test_cnn_lstm_learns_synthetic_temporal(mesh8):
                                  logger=MetricsLogger(echo=False),
                                  checkpoints=False)
     assert summary["history"][-1]["train_accuracy"] > 0.8
+
+
+def test_remat_matches_no_remat(mesh8):
+    """jax.checkpoint remat must not change the computed update."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.core.prng import PRNG
+    from surya_tpu.models import get_model
+    from surya_tpu.train.steps import create_train_state, make_train_step
+
+    data = _tiny_source(batch_size=8)
+    sample = next(iter(data.train_batches(0)))
+
+    outs = {}
+    for remat in (False, True):
+        cfg = _cfg(epochs=1)
+        cfg = cfg.override({"train.remat": str(remat).lower(),
+                            "data.batch_size": "8"})
+        model = get_model(cfg.model)
+        with mesh8:
+            state, tx = create_train_state(
+                model, cfg, PRNG(0).named(0, "init"), sample)
+            step = make_train_step(model, tx, cfg)
+            new_state, m = step(state, sample, PRNG(0).named(0, "d"))
+            outs[remat] = (float(jax.device_get(m["loss"])),
+                           np.asarray(jax.device_get(
+                               new_state.params["classifier"]["fc1"]
+                               ["kernel"])))
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-5)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=1e-5, atol=1e-6)
