@@ -65,11 +65,21 @@ def cmd_train(argv: list[str]) -> int:
                          "state) and continue")
     ap.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace dir (TensorBoard)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax.debug_nans (SURVEY §5.2); "
+                         "disables the in-step NaN guard so the origin "
+                         "of the first NaN errors out loudly")
     args, rest = ap.parse_known_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     cfg = get_preset(args.preset)
     if args.synthetic:
         cfg = cfg.override({"data.synthetic": "true"})
+    if args.debug_nans:
+        cfg = cfg.override({"train.nan_guard": "false"})
     if rest:
         cfg = cfg.override(parse_cli_overrides(rest))
     os.makedirs(args.out, exist_ok=True)
@@ -136,6 +146,34 @@ def cmd_eval(argv: list[str]) -> int:
     return 0
 
 
+def cmd_check() -> int:
+    """Environment check (parity with the reference's standalone smoke
+    scripts: Zero123/check_zero123plus.py, check_model.py,
+    Background_remove/test_single_background.py)."""
+    import importlib.util
+
+    def probe(name):
+        return importlib.util.find_spec(name) is not None
+
+    report = {}
+    import jax
+
+    report["jax_backend"] = jax.default_backend()
+    report["devices"] = [str(d) for d in jax.devices()]
+    for dep, why in [("PIL", "image IO"), ("cv2", "video IO/skeletons"),
+                     ("mediapipe", "pose landmark extraction"),
+                     ("rembg", "background removal"),
+                     ("diffusers", "Zero123-Plus multiview"),
+                     ("matplotlib", "plots"),
+                     ("sklearn", "metric cross-checks (tests)")]:
+        report[dep] = {"available": probe(dep), "needed_for": why}
+    from surya_tpu import native
+
+    report["native_decoder"] = native.available()
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -161,6 +199,8 @@ def main() -> int:
         return cmd_eval(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
+    if cmd == "check":
+        return cmd_check()
     if cmd == "bench":
         import bench
 

@@ -181,3 +181,35 @@ def batch_grad_cam(cfg: ModelConfig, variables, batches,
     for images, feats, labels in batches:
         cams, preds, _ = fn(images, feats)
         yield np.asarray(cams), np.asarray(preds), np.asarray(labels)
+
+
+def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
+                        class_names, out_dir: str,
+                        target_layer: str = "layer4",
+                        alpha: float = 0.4) -> int:
+    """Save ``<idx>_pred_<label>_cam.jpg`` overlays into per-true-class
+    dirs (output naming parity with ``grad_cam_analysis.py:417-427``).
+    Returns the number of images written."""
+    import os
+
+    from PIL import Image
+
+    if cfg.mode == "numerical_only":
+        raise ValueError("grad-cam is undefined for numerical_only mode")
+    n = 0
+    for images, feats, labels in batches:
+        cams, preds, _ = (np.asarray(x) for x in grad_cam(
+            cfg, variables, images, feats, target_layer))
+        for i in range(len(labels)):
+            true_name = class_names[int(labels[i])]
+            pred_name = class_names[int(preds[i])]
+            d = os.path.join(out_dir, true_name)
+            os.makedirs(d, exist_ok=True)
+            img = np.asarray(images[i])
+            if img.max() <= 1.5:
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            out = overlay_heatmap(img, cams[i], alpha)
+            Image.fromarray(out).save(
+                os.path.join(d, f"{n:05d}_pred_{pred_name}_cam.jpg"))
+            n += 1
+    return n

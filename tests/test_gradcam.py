@@ -60,3 +60,33 @@ def test_overlay_shapes():
     cam = np.random.default_rng(0).uniform(0, 1, (8, 8)).astype(np.float32)
     out = overlay_heatmap(img, cam)
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+def test_save_batch_grad_cam(tmp_path):
+    import os
+
+    from surya_tpu.interpret.gradcam import save_batch_grad_cam
+
+    cfg, model, variables, images, feats = _setup("quadtree")
+    labels = np.asarray([0, 1], np.int32)
+    n = save_batch_grad_cam(cfg, variables,
+                            [(images, feats, labels)],
+                            class_names=[f"c{i}" for i in range(6)],
+                            out_dir=str(tmp_path))
+    assert n == 2
+    files = []
+    for root, _, fs in os.walk(tmp_path):
+        files += [os.path.join(root, f) for f in fs]
+    assert len(files) == 2
+    assert any("_pred_" in f and f.endswith("_cam.jpg") for f in files)
+
+
+def test_batch_grad_cam_rejects_numerical_only():
+    import pytest as _pytest
+
+    from surya_tpu.core.config import ModelConfig
+    from surya_tpu.interpret.gradcam import batch_grad_cam
+
+    cfg = ModelConfig(name="quadtree", mode="numerical_only")
+    with _pytest.raises(ValueError):
+        next(iter(batch_grad_cam(cfg, {}, [])))
