@@ -1,0 +1,65 @@
+"""Host input-pipeline throughput: native C++ decode vs PIL.
+
+At ~8k train images/sec/chip the host decode path is the bottleneck
+risk (SURVEY §7 "Input-pipeline throughput"); this measures both decode
+backends on synthetic JPEGs at the staging size used by
+DiskDataSource.
+
+Run: python -m surya_tpu.bench.input_pipeline [n_images] [staging]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main(n_images: int = 256, staging: int = 256,
+         src_hw: tuple[int, int] = (480, 640)) -> dict:
+    from PIL import Image
+
+    from surya_tpu import native
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_images):
+        p = f"{tmp}/img{i:05d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (*src_hw, 3),
+                                     np.uint8)).save(p, quality=90)
+        paths.append(p)
+
+    result = {"n_images": n_images, "staging": staging,
+              "src": f"{src_hw[0]}x{src_hw[1]}"}
+
+    t0 = time.perf_counter()
+    for p in paths:
+        with Image.open(p) as im:
+            np.asarray(im.convert("RGB").resize((staging, staging),
+                                                Image.BILINEAR))
+    result["pil_images_per_sec"] = round(
+        n_images / (time.perf_counter() - t0), 1)
+
+    if native.available():
+        native.decode_batch(paths[:8], staging)  # warm build
+        t0 = time.perf_counter()
+        _, ok = native.decode_batch(paths, staging)
+        result["native_images_per_sec"] = round(
+            n_images / (time.perf_counter() - t0), 1)
+        result["native_ok"] = ok
+        result["speedup"] = round(result["native_images_per_sec"]
+                                  / result["pil_images_per_sec"], 2)
+    else:
+        result["native_images_per_sec"] = None
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    main(n, s)

@@ -29,7 +29,7 @@ class MlpBlock(nn.Module):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # timm/torch exact-erf GELU
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(x)
