@@ -45,6 +45,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # use Pallas kernels on the quadtree hot path when available
     use_pallas: bool = True
+    # space-to-depth stem for resnet trunks (TPU MXU efficiency; exact
+    # math equivalence — see models/backbones/resnet.py)
+    stem_space_to_depth: bool = False
 
 
 @dataclass

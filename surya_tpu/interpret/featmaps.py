@@ -16,14 +16,15 @@ import numpy as np
 import jax.numpy as jnp
 
 from surya_tpu.core.config import ModelConfig
-from surya_tpu.models.backbones.resnet import make_resnet
+from surya_tpu.models.backbones.resnet import make_resnet, stem_is_s2d
 from surya_tpu.ops.quadtree import quadrant_split
 
 
 def hierarchy_maps(cfg: ModelConfig, variables, images):
     """Returns dict with channel-mean heatmaps:
     base (B,28,28), level1 (B,4,14,14), level2 (B,16,7,7)."""
-    trunk = make_resnet(cfg.backbone, dtype=jnp.float32)
+    trunk = make_resnet(cfg.backbone, dtype=jnp.float32,
+                        stem_s2d=stem_is_s2d(variables["params"]["trunk"]))
     tv = {"params": variables["params"]["trunk"],
           "batch_stats": variables.get("batch_stats", {}).get("trunk", {})}
     base = trunk.apply(tv, jnp.asarray(images, jnp.float32), train=False,

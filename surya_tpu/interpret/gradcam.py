@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surya_tpu.core.config import ModelConfig
-from surya_tpu.models.backbones.resnet import make_resnet
+from surya_tpu.models.backbones.resnet import make_resnet, stem_is_s2d
 from surya_tpu.models.common import FusionClassifier, NumericalMLP
 from surya_tpu.ops.quadtree import quadrant_flatten, quadrant_split
 
@@ -59,7 +59,8 @@ def _quadtree_logits_from(cfg: ModelConfig, variables, act, fmap, feats,
                           target_layer):
     """Tail forward for QuadtreeCNN from the target activation."""
     params = variables["params"]
-    trunk = make_resnet(cfg.backbone, dtype=jnp.float32)
+    trunk = make_resnet(cfg.backbone, dtype=jnp.float32,
+                        stem_s2d=stem_is_s2d(params["trunk"]))
     tv = _trunk_vars(variables, "trunk")
 
     if target_layer == "layer3":
@@ -115,7 +116,11 @@ def grad_cam(cfg: ModelConfig, variables, images, feats,
     """Returns (heatmaps (B,h,w), preds (B,), logits (B,C))."""
     images = jnp.asarray(images, jnp.float32)
     feats = jnp.asarray(feats, jnp.float32)
-    trunk = make_resnet(cfg.backbone, dtype=jnp.float32)
+    if cfg.name == "quadtree":
+        s2d = stem_is_s2d(variables["params"]["trunk"])
+    else:
+        s2d = stem_is_s2d(variables["params"]["trunk"]["resnet"])
+    trunk = make_resnet(cfg.backbone, dtype=jnp.float32, stem_s2d=s2d)
 
     if cfg.name == "quadtree":
         tv = _trunk_vars(variables, "trunk")

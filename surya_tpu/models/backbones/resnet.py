@@ -28,6 +28,33 @@ import jax.numpy as jnp
 STAGES = ("stem", "layer1", "layer2", "layer3", "layer4")
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/b, W/b, b²·C), channel order (ry, rx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def stem_kernel_to_s2d(k7):
+    """(7,7,C,CO) standard stem kernel → the mathematically equivalent
+    (4,4,4C,CO) kernel for the space-to-depth stem.
+
+    Derivation: pad the 7-tap kernel to 8 on the LEFT (output index o
+    reads input rows 2o-3..2o+3 = blocks o-2..o+1, i.e. 4 blocks with
+    the first tap of an 8-tap kernel zero); then fold each (2×2, C) tap
+    group into the s2d channel axis in (ry, rx, c) order.
+    """
+    import numpy as _np
+
+    k7 = _np.asarray(k7)
+    c, co = k7.shape[2], k7.shape[3]
+    k8 = _np.zeros((8, 8, c, co), k7.dtype)
+    k8[1:, 1:] = k7
+    k8 = k8.reshape(4, 2, 4, 2, c, co).transpose(0, 2, 1, 3, 4, 5)
+    return k8.reshape(4, 4, 4 * c, co)
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block (torchvision BasicBlock equivalent)."""
 
@@ -108,6 +135,12 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     width: int = 64
     dtype: Any = jnp.bfloat16
+    # Space-to-depth stem (MLPerf TPU ResNet trick): the 7×7/s2 conv on
+    # 3 channels wastes the MXU's 128 input lanes (measured: 37% of the
+    # trunk's forward time); s2d folds 2×2 pixel blocks into channels
+    # (3→12) and runs the mathematically equivalent 4×4/s1 conv.
+    # Weight import converts standard kernels via stem_kernel_to_s2d.
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, upto: str = "layer4",
@@ -130,10 +163,17 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
         outs = {}
         if start is None:
-            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                        padding=((3, 3), (3, 3)), use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name="conv1")(x)
+            if self.stem_space_to_depth:
+                x = space_to_depth(x, 2)
+                x = nn.Conv(self.width, (4, 4), strides=(1, 1),
+                            padding=((2, 1), (2, 1)), use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="conv1")(x)
+            else:
+                x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                            padding=((3, 3), (3, 3)), use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="conv1")(x)
             x = norm(name="bn1")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
@@ -167,19 +207,19 @@ class ResNet(nn.Module):
         return outs
 
 
-def resnet18(dtype=jnp.bfloat16, name=None) -> ResNet:
+def resnet18(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
     return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), dtype=dtype,
-                  name=name)
+                  name=name, stem_space_to_depth=stem_s2d)
 
 
-def resnet34(dtype=jnp.bfloat16, name=None) -> ResNet:
+def resnet34(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
     return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), dtype=dtype,
-                  name=name)
+                  name=name, stem_space_to_depth=stem_s2d)
 
 
-def resnet50(dtype=jnp.bfloat16, name=None) -> ResNet:
+def resnet50(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
     return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), dtype=dtype,
-                  name=name)
+                  name=name, stem_space_to_depth=stem_s2d)
 
 
 def feature_dim(name: str) -> int:
@@ -187,9 +227,16 @@ def feature_dim(name: str) -> int:
     return {"resnet18": 512, "resnet34": 512, "resnet50": 2048}[name]
 
 
-def make_resnet(arch: str, dtype=jnp.bfloat16, name=None) -> ResNet:
+def make_resnet(arch: str, dtype=jnp.bfloat16, name=None,
+                stem_s2d=False) -> ResNet:
     try:
         return {"resnet18": resnet18, "resnet34": resnet34,
-                "resnet50": resnet50}[arch](dtype=dtype, name=name)
+                "resnet50": resnet50}[arch](dtype=dtype, name=name,
+                                            stem_s2d=stem_s2d)
     except KeyError:
         raise ValueError(f"unknown resnet {arch!r}") from None
+
+
+def stem_is_s2d(trunk_params) -> bool:
+    """Infer the stem variant from a param tree's conv1 kernel shape."""
+    return trunk_params["conv1"]["kernel"].shape[0] == 4

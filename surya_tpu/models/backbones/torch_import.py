@@ -55,11 +55,19 @@ def _bn(sd, prefix):
 
 
 def import_resnet(state_dict, stage_sizes=(2, 2, 2, 2),
-                  bottleneck: bool = False):
+                  bottleneck: bool = False, stem_s2d: bool = False):
     """torchvision resnet18/34/50 state_dict → (params, batch_stats)
-    for surya_tpu.models.backbones.resnet.ResNet."""
+    for surya_tpu.models.backbones.resnet.ResNet.
+
+    ``stem_s2d=True`` converts the 7×7 stem kernel into the equivalent
+    space-to-depth (4,4,12,CO) kernel (resnet.stem_kernel_to_s2d)."""
     sd = state_dict
-    params: dict = {"conv1": {"kernel": conv_kernel(sd["conv1.weight"])}}
+    k1 = conv_kernel(sd["conv1.weight"])
+    if stem_s2d:
+        from surya_tpu.models.backbones.resnet import stem_kernel_to_s2d
+
+        k1 = stem_kernel_to_s2d(k1)
+    params: dict = {"conv1": {"kernel": k1}}
     stats: dict = {}
     params["bn1"], stats["bn1"] = _bn(sd, "bn1")
 

@@ -48,7 +48,8 @@ def _quadtree(cfg: ModelConfig):
     from surya_tpu.models.spatial.quadtree import QuadtreeCNN
     return QuadtreeCNN(num_classes=cfg.num_classes, mode=cfg.mode,
                        backbone=cfg.backbone, dropout=cfg.dropout,
-                       dtype=_dtype(cfg), use_pallas=cfg.use_pallas)
+                       dtype=_dtype(cfg), use_pallas=cfg.use_pallas,
+                       stem_s2d=cfg.stem_space_to_depth)
 
 
 @register("hierarchical_quadtree")

@@ -54,6 +54,7 @@ class QuadtreeCNN(nn.Module):
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    stem_s2d: bool = False  # space-to-depth stem (resnet.py docstring)
 
     @nn.compact
     def __call__(self, images, numerical, train: bool = False):
@@ -64,7 +65,7 @@ class QuadtreeCNN(nn.Module):
         if self.mode != "numerical_only":
             b = images.shape[0]
             trunk = make_resnet(self.backbone, dtype=self.dtype,
-                                name="trunk")
+                                name="trunk", stem_s2d=self.stem_s2d)
             outs = trunk(images, train=train, upto="layer4",
                          capture=("layer3",))
             fmap = outs["layer3"]        # (B, 14, 14, 256) @ 224 input

@@ -147,3 +147,35 @@ def test_dropout_active_in_train_mode():
                         rngs={"dropout": jax.random.key(2)},
                         mutable=["batch_stats"])
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_s2d_stem_matches_standard_stem():
+    """Space-to-depth stem == standard 7x7/s2 stem, end-to-end through
+    the trunk (same weights, converted)."""
+    from surya_tpu.models.backbones.resnet import (
+        resnet18,
+        stem_is_s2d,
+        stem_kernel_to_s2d,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    std = resnet18(dtype=jnp.float32)
+    v = std.init({"params": jax.random.key(0)}, x, train=False)
+    want = std.apply(v, x, train=False)["out"]
+
+    import copy
+
+    v2 = jax.tree.map(lambda a: a, v)  # shallow copy of structure
+    v2 = jax.device_get(v2)
+    v2 = {"params": dict(v2["params"]),
+          "batch_stats": v2["batch_stats"]}
+    v2["params"]["conv1"] = {
+        "kernel": jnp.asarray(stem_kernel_to_s2d(
+            np.asarray(v["params"]["conv1"]["kernel"])))}
+    s2d = resnet18(dtype=jnp.float32, stem_s2d=True)
+    got = s2d.apply(v2, x, train=False)["out"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert stem_is_s2d(v2["params"]) and not stem_is_s2d(v["params"])
+    del copy
