@@ -80,7 +80,8 @@ class DiskDataSource:
     def __init__(self, cfg: DataConfig, splits=("train", "valid", "test"),
                  stats: ClassFeatureStats | None = None,
                  staging_size: int = 256, num_threads: int = 8,
-                 seed: int = 0, use_native: bool = True):
+                 seed: int = 0, use_native: bool = True,
+                 pad_eval_to: int = 1):
         self.cfg = cfg
         self.staging = staging_size
         self.num_threads = num_threads
@@ -90,6 +91,11 @@ class DiskDataSource:
         # point-samples; PIL BILINEAR anti-aliases on downscale — a
         # benign train-time filter difference.
         self.use_native = use_native
+        # multi-chip eval: pad tail batches (by repeating the last
+        # sample) to a multiple of the data-axis size; padded copies
+        # count toward metrics — use divisible eval sets for exact
+        # numbers (same caveat as ArrayDataSource).
+        self.pad_eval_to = pad_eval_to
         self.index = {}
         for s in splits:
             try:
@@ -152,6 +158,18 @@ class DiskDataSource:
                 break
             yield item
 
+    @staticmethod
+    def _pad_batch(batch, pad_to: int):
+        imgs, feats, labels = batch
+        extra = (-len(labels)) % pad_to
+        if extra:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], extra, 0)])
+            feats = np.concatenate([feats,
+                                    np.repeat(feats[-1:], extra, 0)])
+            labels = np.concatenate([labels,
+                                     np.repeat(labels[-1:], extra, 0)])
+        return imgs, feats, labels
+
     def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:
         labels = self.index["train"][2]
         n = len(labels)
@@ -166,7 +184,10 @@ class DiskDataSource:
         if split not in self.index:
             raise KeyError(split)   # eager: callers probe availability
         n = len(self.index[split][2])
-        return self._batches(split, np.arange(n), self.cfg.batch_size)
+        it = self._batches(split, np.arange(n), self.cfg.batch_size)
+        if self.pad_eval_to > 1:
+            return (self._pad_batch(b, self.pad_eval_to) for b in it)
+        return it
 
     # -- device-side finish -------------------------------------------------
 

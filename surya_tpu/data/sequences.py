@@ -138,9 +138,11 @@ class SequenceDataSource:
     label) from the ``.npz`` window layout."""
 
     def __init__(self, cfg: DataConfig, seed: int = 0,
-                 splits=("train", "valid", "test"), stats=None):
+                 splits=("train", "valid", "test"), stats=None,
+                 pad_eval_to: int = 1):
         self.cfg = cfg
         self.seed = seed
+        self.pad_eval_to = pad_eval_to  # multi-chip eval tail padding
         # per-class stats for the 3dcnn-style per-timestep
         # standardization (3dcnn/dataloaders.py:186-211)
         self.stats = stats
@@ -204,14 +206,27 @@ class SequenceDataSource:
         rng = np.random.default_rng((self.seed, epoch_seed))
         bs = self.cfg.batch_size
         order = rng.permutation(n)
-        stop = max((n // bs) * bs, min(bs, n))
+        # full batches only; tiny datasets wrap-pad one full batch
+        stop = (n // bs) * bs if n >= bs else bs
         order = np.resize(order, stop) if n < bs else order[:stop]
-        yield from self._batches("train", order)
+        return self._batches("train", order)
 
     def eval_batches(self, split: str) -> Iterator[tuple]:
         if split not in self.index:
             raise KeyError(split)   # eager: callers probe availability
-        return self._batches(split, np.arange(len(self.index[split])))
+        it = self._batches(split, np.arange(len(self.index[split])))
+        if self.pad_eval_to > 1:
+            def pad(batch):
+                arrs = []
+                extra = (-len(batch[2])) % self.pad_eval_to
+                for a in batch:
+                    if extra:
+                        a = np.concatenate(
+                            [a, np.repeat(a[-1:], extra, 0)])
+                    arrs.append(a)
+                return tuple(arrs)
+            return (pad(b) for b in it)
+        return it
 
     def device_transform(self, split: str, key, batch):
         """uint8 frames → normalized float (no augmentation — the
