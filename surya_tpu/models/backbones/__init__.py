@@ -26,11 +26,12 @@ class _ResNetPooled(nn.Module):
 
     arch: str = "resnet18"
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        outs = make_resnet(self.arch, dtype=self.dtype,
-                           name="resnet")(x, train=train)
+        outs = make_resnet(self.arch, dtype=self.dtype, name="resnet",
+                           stem_s2d=self.stem_s2d)(x, train=train)
         return jnp.mean(outs["out"], axis=(1, 2), dtype=self.dtype)
 
 
@@ -44,10 +45,12 @@ BACKBONE_DIMS = {
 }
 
 
-def feature_extractor(arch: str, dtype=jnp.bfloat16, name=None) -> nn.Module:
+def feature_extractor(arch: str, dtype=jnp.bfloat16, name=None,
+                      stem_s2d: bool = False) -> nn.Module:
     """Build a pooled-feature backbone module by torchvision-style name."""
     if arch in ("resnet18", "resnet34", "resnet50"):
-        return _ResNetPooled(arch=arch, dtype=dtype, name=name)
+        return _ResNetPooled(arch=arch, dtype=dtype, name=name,
+                             stem_s2d=stem_s2d)
     if arch == "vgg16":
         from surya_tpu.models.backbones.vgg import VGG16Features
         return VGG16Features(dtype=dtype, name=name)

@@ -57,7 +57,8 @@ def _hier(cfg: ModelConfig):
     from surya_tpu.models.spatial.hierarchical import HierarchicalQuadtreeCNN
     return HierarchicalQuadtreeCNN(num_classes=cfg.num_classes,
                                    mode=cfg.mode, backbone=cfg.backbone,
-                                   dtype=_dtype(cfg))
+                                   dtype=_dtype(cfg),
+                                   stem_s2d=cfg.stem_space_to_depth)
 
 
 @register("attention_hierarchical")
@@ -65,21 +66,24 @@ def _attn_hier(cfg: ModelConfig):
     from surya_tpu.models.spatial.hierarchical import AttentionHierarchicalCNN
     return AttentionHierarchicalCNN(num_classes=cfg.num_classes,
                                     mode=cfg.mode, backbone=cfg.backbone,
-                                    dtype=_dtype(cfg))
+                                    dtype=_dtype(cfg),
+                                    stem_s2d=cfg.stem_space_to_depth)
 
 
 @register("standard_resnet")
 def _std_resnet(cfg: ModelConfig):
     from surya_tpu.models.spatial.standard import StandardResNetCNN
     return StandardResNetCNN(num_classes=cfg.num_classes,
-                             backbone=cfg.backbone, dtype=_dtype(cfg))
+                             backbone=cfg.backbone, dtype=_dtype(cfg),
+                             stem_s2d=cfg.stem_space_to_depth)
 
 
 @register("standard_multimodal")
 def _std_multi(cfg: ModelConfig):
     from surya_tpu.models.spatial.standard import StandardMultimodalCNN
     return StandardMultimodalCNN(num_classes=cfg.num_classes, mode=cfg.mode,
-                                 backbone=cfg.backbone, dtype=_dtype(cfg))
+                                 backbone=cfg.backbone, dtype=_dtype(cfg),
+                                 stem_s2d=cfg.stem_space_to_depth)
 
 
 # --- temporal ------------------------------------------------------------

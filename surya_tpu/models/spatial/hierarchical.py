@@ -63,11 +63,13 @@ class _HierarchicalBase(nn.Module):
     mode: str = "fusion"
     backbone: str = "resnet18"
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     def hierarchy_features(self, images, train):
         """Returns (global 512, level1 (B,4,128), level2 (B,16,64))."""
         b = images.shape[0]
-        trunk = make_resnet(self.backbone, dtype=self.dtype, name="trunk")
+        trunk = make_resnet(self.backbone, dtype=self.dtype,
+                            name="trunk", stem_s2d=self.stem_s2d)
         outs = trunk(images, train=train, upto="layer4",
                      capture=("layer2",))
         base = outs["layer2"]              # (B, 28, 28, 128)

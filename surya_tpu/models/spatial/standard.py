@@ -34,12 +34,14 @@ class StandardResNetCNN(nn.Module):
     mode: str = "image_only"  # fixed: numerical input is ignored
     backbone: str = "resnet18"
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, images, numerical=None, train: bool = False):
         del numerical  # accepted and ignored (resnet/models.py:56)
-        feat = feature_extractor(self.backbone, self.dtype,
-                                 name="trunk")(images, train=train)
+        feat = feature_extractor(self.backbone, self.dtype, name="trunk",
+                                 stem_s2d=self.stem_s2d)(images,
+                                                         train=train)
         return FusionClassifier(num_classes=self.num_classes,
                                 hidden_dim=256, dropout=0.5,
                                 dtype=self.dtype,
@@ -54,6 +56,7 @@ class StandardMultimodalCNN(nn.Module):
     backbone: str = "resnet18"
     num_mlp_out: int = 256
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, images, numerical, train: bool = False):
@@ -61,8 +64,9 @@ class StandardMultimodalCNN(nn.Module):
         img_feat = None
         num_feat = None
         if self.mode != "numerical_only":
-            img_feat = feature_extractor(self.backbone, self.dtype,
-                                         name="trunk")(images, train=train)
+            img_feat = feature_extractor(
+                self.backbone, self.dtype, name="trunk",
+                stem_s2d=self.stem_s2d)(images, train=train)
         if self.mode != "image_only":
             num_feat = NumericalMLP(out_dim=self.num_mlp_out, dropout=0.3,
                                     dtype=self.dtype,

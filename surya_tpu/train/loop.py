@@ -140,10 +140,6 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
     mesh = mesh or create_mesh()
     logger = logger or MetricsLogger()
     prng = PRNG(cfg.train.seed)
-    if cfg.train.deterministic:
-        # structural determinism is the default; debug_nans is opt-in
-        # via JAX_DEBUG_NANS (kept off the hot path).
-        pass
 
     model = get_model(cfg.model)
     sample = next(iter(data.train_batches(0)))
