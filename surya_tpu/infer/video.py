@@ -129,6 +129,13 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
             records.append({"frame": frame_idx, "label": label,
                             "confidence": conf})
             if writer is not None:
+                if det[i]:
+                    # skeleton overlay (test_on_video_cnn.py:280-292)
+                    from surya_tpu.data.prep.sequence_features import (
+                        _annotate,
+                    )
+
+                    frame = _annotate(frame, lms[i])
                 cv2.putText(frame, f"{label} ({conf:.2f})", (16, 40),
                             cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0),
                             2)
