@@ -76,6 +76,12 @@ class DataConfig:
     blur_sigma_max: float = 0.5
     synthetic: bool = False  # use the synthetic in-memory dataset (tests/benches)
     synthetic_size: int = 256
+    # Data echoing (Choi et al. 2019): reuse each host-decoded batch N
+    # times per step with FRESH on-device augmentations (our augment
+    # pipeline is PRNG-keyed per step, so echoes differ). Lifts
+    # throughput when host decode can't feed the chip; mild
+    # regularization tradeoff — keep 1 unless input-bound.
+    data_echo: int = 1
 
 
 @dataclass

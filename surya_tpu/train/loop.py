@@ -185,23 +185,31 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                 profiled = True
             t0 = time.time()
             losses, accs, seen = [], [], 0
-            for batch in data.train_batches(epoch + 1):
-                batch = shard_batch(mesh, batch)
-                if hasattr(data, "device_transform"):
-                    batch = data.device_transform(
-                        "train", prng.named(step_count, "augment"), batch)
-                rng = prng.named(step_count, "dropout")
-                state, m = train_step(state, batch, rng)
-                step_count += 1
-                seen += int(np.shape(batch[2])[0])
-                losses.append(m["loss"])
-                accs.append(m["accuracy"])
-                if (cfg.train.log_every > 0
-                        and step_count % cfg.train.log_every == 0):
-                    logger.log({"step": step_count, "epoch": epoch,
-                                "loss": float(jax.device_get(m["loss"])),
-                                "accuracy": float(jax.device_get(
-                                    m["accuracy"]))})
+            echo = max(cfg.data.data_echo, 1)
+            for host_batch in data.train_batches(epoch + 1):
+                sharded = shard_batch(mesh, host_batch)
+                # data echoing: each decoded batch drives `echo` steps,
+                # each with a fresh augmentation/dropout key (on-device
+                # augmentation makes the echoes genuinely different).
+                for _ in range(echo):
+                    batch = sharded
+                    if hasattr(data, "device_transform"):
+                        batch = data.device_transform(
+                            "train", prng.named(step_count, "augment"),
+                            batch)
+                    rng = prng.named(step_count, "dropout")
+                    state, m = train_step(state, batch, rng)
+                    step_count += 1
+                    seen += int(np.shape(batch[2])[0])
+                    losses.append(m["loss"])
+                    accs.append(m["accuracy"])
+                    if (cfg.train.log_every > 0
+                            and step_count % cfg.train.log_every == 0):
+                        logger.log(
+                            {"step": step_count, "epoch": epoch,
+                             "loss": float(jax.device_get(m["loss"])),
+                             "accuracy": float(jax.device_get(
+                                 m["accuracy"]))})
             train_loss = float(np.mean(jax.device_get(losses)))
             train_acc = float(np.mean(jax.device_get(accs)))
 

