@@ -233,9 +233,13 @@ def _preset_cnn_lstm() -> Config:
 def _preset_3dcnn(name: str = "quadtree_3d") -> Config:
     # 3dcnn/train_3D_Quadtree_cnn_model.py:29-43 — BS 8, 5e-5, wd 5e-4,
     # clip 1.0, T=5, early-stop 10 w/ min_delta 1e-3, plateau 5 ×0.5 min 1e-7.
+    # r3d_18-based models freeze the pretrained trunk except layer4
+    # (3dcnn/models.py:229-237,291-297 — the partial-unfreeze mask).
+    freeze = name in ("resnet3d_video", "hybrid_quadtree_3d")
     return Config(
         name=name,
-        model=ModelConfig(name=name, mode="fusion", seq_len=5),
+        model=ModelConfig(name=name, mode="fusion", seq_len=5,
+                          freeze_backbone=freeze),
         data=DataConfig(batch_size=8, seq_len=5),
         train=TrainConfig(epochs=50, lr=5e-5, weight_decay=5e-4, grad_clip=1.0,
                           early_stop_patience=10, early_stop_min_delta=1e-3,

@@ -93,7 +93,8 @@ def _cnn_lstm(cfg: ModelConfig):
     from surya_tpu.models.temporal.cnn_lstm import CnnLstm
     return CnnLstm(num_classes=cfg.num_classes, backbone=cfg.backbone,
                    lstm_hidden=cfg.lstm_hidden, lstm_layers=cfg.lstm_layers,
-                   dtype=_dtype(cfg))
+                   dtype=_dtype(cfg),
+                   freeze_backbone=cfg.freeze_backbone)
 
 
 @register("ji_3dcnn")
@@ -112,14 +113,16 @@ def _qt3d(cfg: ModelConfig):
 @register("resnet3d_video")
 def _r3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.resnet3d_video import ResNet3DVideo
-    return ResNet3DVideo(num_classes=cfg.num_classes, dtype=_dtype(cfg))
+    return ResNet3DVideo(num_classes=cfg.num_classes, dtype=_dtype(cfg),
+                         freeze_backbone=cfg.freeze_backbone)
 
 
 @register("hybrid_quadtree_3d")
 def _hybrid3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.resnet3d_video import HybridQuadtree3DCNN
     return HybridQuadtree3DCNN(num_classes=cfg.num_classes, mode=cfg.mode,
-                               dtype=_dtype(cfg))
+                               dtype=_dtype(cfg),
+                               freeze_backbone=cfg.freeze_backbone)
 
 
 @register("fact")
@@ -127,4 +130,5 @@ def _fact(cfg: ModelConfig):
     from surya_tpu.models.temporal.fact import FactModel
     return FactModel(num_classes=cfg.num_classes, seq_len=cfg.seq_len,
                      num_layers=cfg.fusion_layers, num_heads=cfg.fusion_heads,
-                     embed_dim=cfg.fusion_dim, dtype=_dtype(cfg))
+                     embed_dim=cfg.fusion_dim, dtype=_dtype(cfg),
+                     freeze_backbone=cfg.freeze_backbone)
