@@ -26,7 +26,7 @@ import csv
 import json
 import os
 import shutil
-from typing import Callable, Protocol
+from typing import Protocol
 
 import numpy as np
 
