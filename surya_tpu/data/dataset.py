@@ -146,9 +146,12 @@ class DiskDataSource:
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
 
         def worker():
-            for ch in chunks:
-                q.put(self._load_batch(split, ch))
-            q.put(None)
+            try:
+                for ch in chunks:
+                    q.put(self._load_batch(split, ch))
+                q.put(None)
+            except BaseException as e:  # surface, don't deadlock
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -156,6 +159,8 @@ class DiskDataSource:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     @staticmethod

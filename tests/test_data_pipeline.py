@@ -193,3 +193,19 @@ def test_native_decoder_if_available(tmp_path):
         ref = np.asarray(im.convert("RGB").resize((32, 32),
                                                   Image.BILINEAR))
     assert np.mean(np.abs(ref.astype(int) - out[0].astype(int))) < 40
+
+
+def test_disk_loader_surfaces_worker_errors(disk_dataset):
+    """A corrupt .npy must raise in the consumer, not deadlock."""
+    from surya_tpu.core.config import DataConfig
+    from surya_tpu.data.dataset import DiskDataSource
+
+    src = DiskDataSource(DataConfig(data_root=disk_dataset, batch_size=4,
+                                    image_size=32), staging_size=48)
+    # corrupt one feature file
+    bad = src.index["train"][1][0]
+    with open(bad, "wb") as f:
+        f.write(b"not-a-npy")
+    with pytest.raises(Exception):
+        for _ in src._batches("train", np.arange(4), 4):
+            pass
