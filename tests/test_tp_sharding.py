@@ -55,3 +55,42 @@ def test_dp2_tp2_sp2_train_step():
         state, m = step(state, shard_batch(mesh, batch),
                         PRNG(0).named(0, "d"))
         assert np.isfinite(float(jax.device_get(m["loss"])))
+
+
+def test_bn_stats_are_global_across_mesh():
+    """BN batch statistics under the sharded step must equal the
+    single-device statistics for the same global batch (the 'synced BN
+    for free' claim in train/steps.py)."""
+    import jax.numpy as jnp
+
+    from surya_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+    from surya_tpu.core.mesh import single_device_mesh
+    from surya_tpu.core.prng import PRNG
+    from surya_tpu.models import get_model
+    from surya_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = Config(model=ModelConfig(name="standard_resnet", num_classes=4,
+                                   compute_dtype="float32"),
+                 data=DataConfig(batch_size=8),
+                 train=TrainConfig(lr=0.0, seed=0, nan_guard=False))
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+             rng.normal(size=(8, 47)).astype(np.float32),
+             rng.integers(0, 4, 8).astype(np.int32))
+
+    stats = {}
+    for label, mesh in [("mesh8", create_mesh(MeshSpec(data=8))),
+                        ("mesh1", single_device_mesh())]:
+        with mesh:
+            state, tx = create_train_state(model, cfg,
+                                           PRNG(0).named(0, "i"), batch)
+            state = replicate(mesh, state)
+            step = make_train_step(model, tx, cfg)
+            new_state, _ = step(state, shard_batch(mesh, batch),
+                                PRNG(0).named(0, "d"))
+            stats[label] = jax.device_get(new_state.batch_stats)
+    for a, b in zip(jax.tree.leaves(stats["mesh8"]),
+                    jax.tree.leaves(stats["mesh1"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
