@@ -194,7 +194,12 @@ def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
                         alpha: float = 0.4) -> int:
     """Save ``<idx>_pred_<label>_cam.jpg`` overlays into per-true-class
     dirs (output naming parity with ``grad_cam_analysis.py:417-427``).
-    Returns the number of images written."""
+    Returns the number of images written.
+
+    Batches may be (model_images, feats, labels) or
+    (model_images, feats, labels, display_images) — the latter overlays
+    on the raw (unnormalized) frames while classifying the former.
+    """
     import os
 
     from PIL import Image
@@ -202,7 +207,9 @@ def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
     if cfg.mode == "numerical_only":
         raise ValueError("grad-cam is undefined for numerical_only mode")
     n = 0
-    for images, feats, labels in batches:
+    for batch in batches:
+        images, feats, labels = batch[:3]
+        display = batch[3] if len(batch) > 3 else images
         cams, preds, _ = (np.asarray(x) for x in grad_cam(
             cfg, variables, images, feats, target_layer))
         for i in range(len(labels)):
@@ -210,9 +217,11 @@ def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
             pred_name = class_names[int(preds[i])]
             d = os.path.join(out_dir, true_name)
             os.makedirs(d, exist_ok=True)
-            img = np.asarray(images[i])
+            img = np.asarray(display[i])
             if img.max() <= 1.5:
                 img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            else:
+                img = np.clip(img, 0, 255).astype(np.uint8)
             out = overlay_heatmap(img, cams[i], alpha)
             Image.fromarray(out).save(
                 os.path.join(d, f"{n:05d}_pred_{pred_name}_cam.jpg"))
