@@ -23,7 +23,10 @@ Mosaic-friendly 2D formulation (higher-rank transposes/reductions hit
   the quadrant-major flatten order.
 
 Equivalence with the lax path is pinned by tests/test_pallas_quadrant.py
-(interpret mode) and validated on hardware by bench_pallas.py.
+(interpret mode) and validated on hardware (max diff = bf16 eps at the
+flagship shapes; ~155 µs vs 159 µs for the XLA path at B=128).
+block_b=8 is the VMEM sweet spot: 16 exceeds the 16 MB scoped limit at
+the flagship channel counts.
 """
 
 from __future__ import annotations
