@@ -202,6 +202,11 @@ def main() -> int:
     if cmd == "check":
         return cmd_check()
     if cmd == "bench":
+        # bench.py lives at the repo root (driver contract); make it
+        # importable regardless of the caller's cwd
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
         import bench
 
         bench.main()
