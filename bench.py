@@ -110,6 +110,7 @@ def main() -> None:
     images_per_sec = batch_size * steps / dt
 
     vs_baseline = None
+    baseline_device = None
     if model_name == "quadtree" and not infer_mode:
         baseline_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -119,6 +120,7 @@ def main() -> None:
                 ref = json.load(f)
             if ref.get("value"):
                 vs_baseline = images_per_sec / ref["value"]
+                baseline_device = ref.get("device", "cpu-1core")
 
     unit = "clips/sec" if temporal else "images/sec"
     phase = "infer" if infer_mode else "train"
@@ -128,6 +130,14 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "batch_size": batch_size,
+        "baseline_device": baseline_device,
+        "caveat": ("vs_baseline is TPU-v5e-chip vs torch "
+                   "reference-equivalent on this host's single CPU core "
+                   "(the reference publishes no throughput and no GPU "
+                   "exists here) — hardware-inclusive, not "
+                   "hardware-neutral; see BENCH_NOTES.md"
+                   if vs_baseline else None),
     }))
 
 

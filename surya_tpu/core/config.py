@@ -43,8 +43,13 @@ class ModelConfig:
     fusion_dim: int = 768
     # compute dtype policy: params stay float32; activations/matmuls in this dtype
     compute_dtype: str = "bfloat16"
-    # use Pallas kernels on the quadtree hot path when available
-    use_pallas: bool = True
+    # Use Pallas kernels (fused quadrant + fusion head) on the quadtree
+    # hot path. Default False: the measured batch-matched A/B on v5e
+    # (BENCH_NOTES.md, BS 256) has the XLA/lax path ahead — train 8,135
+    # vs 7,503 img/s, infer 27,545 vs 25,810 — because XLA's own fusion
+    # already covers this graph. The kernels stay maintained and tested
+    # as the native tier for shapes XLA schedules poorly.
+    use_pallas: bool = False
     # space-to-depth stem for resnet trunks (TPU MXU efficiency; exact
     # math equivalence — see models/backbones/resnet.py)
     stem_space_to_depth: bool = False

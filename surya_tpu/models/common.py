@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 MODES = ("fusion", "image_only", "numerical_only")
@@ -46,18 +47,57 @@ class NumericalMLP(nn.Module):
         return nn.relu(x)
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias params with nn.Dense's names, shapes and
+    initializers WITHOUT computing — lets the Pallas fused head share the
+    exact same parameter tree as the nn.Dense path (checkpoints, sharding
+    rules and weight importers see one layout)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class FusionClassifier(nn.Module):
-    """concat(features) → hidden → ReLU → Dropout → logits (float32)."""
+    """concat(features) → hidden → ReLU → Dropout → logits (float32).
+
+    ``use_pallas=True`` routes through the VMEM-fused Pallas head
+    (ops/pallas/fusion_head.py — fc1+ReLU+in-kernel-dropout+fc2 in one
+    pass, no HBM round-trip of the (B, hidden) activations); both paths
+    share the same fc1/fc2 parameters so the flag is a runtime choice.
+    """
 
     num_classes: int
     hidden_dim: int | None = None  # default = in_dim // 2
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         hidden = self.hidden_dim or max(x.shape[-1] // 2, self.num_classes)
+
+        if self.use_pallas:
+            from surya_tpu.ops.pallas.fusion_head import fusion_head
+
+            k1, b1 = _DenseParams(hidden, name="fc1")(x.shape[-1])
+            k2, b2 = _DenseParams(self.num_classes, name="fc2")(hidden)
+            rate = self.dropout if train else 0.0
+            seed = None
+            if rate > 0.0:
+                # per-step scalar seed from the dropout PRNG stream
+                key = self.make_rng("dropout")
+                seed = jax.random.key_data(key).ravel()[-1].astype(
+                    jnp.int32)
+            return fusion_head(x, k1, b1, k2, b2, rate=rate, seed=seed)
+
         x = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
         x = nn.relu(x)

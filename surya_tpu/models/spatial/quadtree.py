@@ -109,4 +109,5 @@ class QuadtreeCNN(nn.Module):
         fused = fuse_by_mode(self.mode, img_feat, num_feat)
         return FusionClassifier(num_classes=self.num_classes,
                                 dropout=self.dropout, dtype=self.dtype,
+                                use_pallas=self.use_pallas,
                                 name="classifier")(fused, train=train)

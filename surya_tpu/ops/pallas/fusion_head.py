@@ -1,20 +1,30 @@
-"""Pallas TPU kernel: fused fusion-classifier head.
+"""Pallas TPU kernel: fused fusion-classifier head (train-capable).
 
 The second Pallas target from the BASELINE north star ("quadrant-gather
 + fusion MLP"): the QuadtreeCNN head computes
-``Dense(in→hidden) → ReLU → Dense(hidden→classes)`` on the fused
-(B, 5376) feature vector (``Quadtree_from scratch/models.py:266-271``).
-XLA runs this as two matmuls with an HBM round-trip of the (B, 2688)
-hidden activations; this kernel keeps the hidden activations in VMEM:
-one grid step processes a batch block through both matmuls + bias +
-ReLU without touching HBM in between.
+``Dense(in→hidden) → ReLU → Dropout → Dense(hidden→classes)`` on the
+fused (B, 5376) feature vector (``Quadtree_from scratch/
+models.py:266-271``). XLA runs this as two matmuls with an HBM
+round-trip of the (B, 2688) hidden activations; this kernel keeps the
+hidden activations in VMEM: one grid step runs fc1 + bias + ReLU +
+dropout + fc2 without touching HBM in between.
 
-Dropout is a no-op at inference; at train time the wrapper is used with
-dropout handled outside (the reference applies dropout between ReLU and
-fc2 — the training path keeps the lax formulation, which also provides
-this kernel's VJP).
+Dropout runs IN-KERNEL via the TPU hardware PRNG (``pltpu.prng_seed`` +
+``prng_random_bits``), seeded per batch block, so the train path is
+fully fused too. The backward saves the post-dropout hidden activation
+``h`` as its residual: because ``h > 0`` iff (pre-activation > 0 AND the
+unit was kept), the single gate ``(h > 0) * 1/(1-rate)`` is exactly the
+combined ReLU+dropout derivative — no mask needs to be stored and no
+forward work is recomputed. The backward itself is three plain XLA
+matmuls (the inherent ones).
 
-Equivalence pinned by tests/test_pallas_fusion_head.py.
+On non-TPU backends the op falls back to a lax formulation using
+``jax.random`` dropout — the same distribution, a different stream than
+the TPU hardware PRNG (documented; dropout masks are never
+checkpoint-relevant).
+
+Wired into ``models.common.FusionClassifier`` behind ``use_pallas``;
+equivalence pinned by tests/test_pallas_fusion_head.py.
 """
 
 from __future__ import annotations
@@ -27,16 +37,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fusion_head_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _dropout_threshold(rate: float) -> int:
+    """uint32 threshold t: keep iff bits >= t, so P(drop) = rate."""
+    return min(int(round(rate * 2 ** 32)), 2 ** 32 - 1)
+
+
+def _fusion_head_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        o_ref, h_ref, *, rate: float):
     x = x_ref[:]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        bits = pltpu.prng_random_bits(h.shape).astype(jnp.uint32)
+        keep = bits >= jnp.uint32(_dropout_threshold(rate))
+        h = jnp.where(keep, h * (1.0 / (1.0 - rate)), 0.0)
+    h_ref[:] = h.astype(h_ref.dtype)
     out = jnp.dot(h.astype(x.dtype), w2_ref[:],
                   preferred_element_type=jnp.float32)
     o_ref[:] = out + b2_ref[:].astype(jnp.float32)
 
 
+def _lax_forward(x, w1, b1, w2, b2, seed, rate: float):
+    """Non-TPU fallback: same math, jax.random dropout stream."""
+    h = jax.nn.relu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
+    h = h.astype(jnp.float32)
+    if rate > 0.0:
+        key = jax.random.fold_in(jax.random.key(0), seed[0, 0])
+        keep = jax.random.bernoulli(key, 1.0 - rate, h.shape)
+        h = jnp.where(keep, h / (1.0 - rate), 0.0)
+    h = h.astype(x.dtype)
+    out = (h @ w2.astype(x.dtype)).astype(jnp.float32) + b2.astype(
+        jnp.float32)
+    return out, h
+
+
 def _lax_reference(x, w1, b1, w2, b2):
+    """Deterministic (no-dropout) oracle for the equivalence tests."""
     h = jax.nn.relu(x @ w1.astype(x.dtype) + b1.astype(x.dtype))
     return (h @ w2.astype(x.dtype)
             + b2.astype(x.dtype)).astype(jnp.float32)
@@ -49,8 +86,10 @@ def _on_tpu() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("block_b",))
-def _fusion_head_impl(x, w1, b1, w2, b2, block_b: int = 128):
+@partial(jax.jit, static_argnames=("rate", "block_b"))
+def _fusion_head_impl(x, w1, b1, w2, b2, seed, rate: float = 0.0,
+                      block_b: int = 128):
+    """Returns (logits_f32 (B, C), h (B, hidden) in x.dtype)."""
     b, d_in = x.shape
     hidden = w1.shape[1]
     classes = w2.shape[1]
@@ -67,10 +106,12 @@ def _fusion_head_impl(x, w1, b1, w2, b2, block_b: int = 128):
         b2 = jnp.concatenate([b2, jnp.zeros((pad_c,), b2.dtype)])
     cp = classes + pad_c
 
-    out = pl.pallas_call(
-        _fusion_head_kernel,
+    out, h = pl.pallas_call(
+        partial(_fusion_head_kernel, rate=rate),
         grid=(bp // block_b,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((block_b, d_in), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_in, hidden), lambda i: (0, 0),
@@ -82,36 +123,74 @@ def _fusion_head_impl(x, w1, b1, w2, b2, block_b: int = 128):
             pl.BlockSpec((1, cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, cp), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, cp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((block_b, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hidden), x.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * hidden * (d_in + cp),
             bytes_accessed=2 * (bp * d_in + d_in * hidden
-                                + hidden * cp + bp * cp),
+                                + hidden * cp + bp * cp + bp * hidden),
             transcendentals=0,
         ),
-    )(x, w1.astype(x.dtype), b1.reshape(1, hidden),
+    )(seed, x, w1.astype(x.dtype), b1.reshape(1, hidden),
       w2.astype(x.dtype), b2.reshape(1, cp))
-    return out[:b, :classes]
+    return out[:b, :classes], h[:b]
 
 
-@jax.custom_vjp
-def fusion_head(x, w1, b1, w2, b2):
-    """(B, D) @ (D, H) + b1 → ReLU → @ (H, C) + b2, VMEM-fused on TPU;
-    lax fallback elsewhere. Gradients via the lax formulation."""
+def fusion_head(x, w1, b1, w2, b2, *, rate: float = 0.0, seed=None):
+    """(B, D) @ (D, H) + b1 → ReLU → dropout(rate) → @ (H, C) + b2,
+    VMEM-fused on TPU (in-kernel hardware-PRNG dropout); lax fallback
+    elsewhere. ``seed``: int32 scalar array (required when rate > 0)."""
+    if seed is None:
+        if rate > 0.0:
+            raise ValueError("fusion_head: rate > 0 requires a seed")
+        seed = jnp.zeros((1, 1), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return _fusion_head_vjp(float(rate), x, w1, b1, w2, b2, seed)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fusion_head_vjp(rate, x, w1, b1, w2, b2, seed):
     if not _on_tpu():
-        return _lax_reference(x, w1, b1, w2, b2)
-    return _fusion_head_impl(x, w1, b1, w2, b2)
+        return _lax_forward(x, w1, b1, w2, b2, seed, rate)[0]
+    return _fusion_head_impl(x, w1, b1, w2, b2, seed, rate=rate)[0]
 
 
-def _fwd(x, w1, b1, w2, b2):
-    return fusion_head(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+def _fwd(rate, x, w1, b1, w2, b2, seed):
+    if _on_tpu():
+        out, h = _fusion_head_impl(x, w1, b1, w2, b2, seed, rate=rate)
+    else:
+        out, h = _lax_forward(x, w1, b1, w2, b2, seed, rate)
+    return out, (x, w1, w2, h)
 
 
-def _bwd(res, g):
-    _, vjp = jax.vjp(_lax_reference, *res)
-    return vjp(g)
+def _bwd(rate, res, g):
+    x, w1, w2, h = res
+    scale = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    g16 = g.astype(x.dtype)
+    # fc2 backward
+    g_w2 = jnp.einsum("bh,bc->hc", h, g16,
+                      preferred_element_type=jnp.float32).astype(w2.dtype)
+    g_b2 = jnp.sum(g, axis=0)
+    g_h = g16 @ w2.astype(x.dtype).T
+    # combined ReLU+dropout gate: h>0 iff (pre>0 and kept); dh/dpre=scale
+    g_pre = jnp.where(h > 0, g_h * jnp.asarray(scale, g_h.dtype),
+                      jnp.zeros_like(g_h))
+    # fc1 backward
+    g_w1 = jnp.einsum("bd,bh->dh", x, g_pre,
+                      preferred_element_type=jnp.float32).astype(w1.dtype)
+    g_b1 = jnp.sum(g_pre.astype(jnp.float32), axis=0)
+    g_x = g_pre @ w1.astype(x.dtype).T
+    return (g_x.astype(x.dtype), g_w1, g_b1.astype(w1.dtype),
+            g_w2, g_b2.astype(w2.dtype), jnp.zeros((1, 1), jnp.int32))
 
 
-fusion_head.defvjp(_fwd, _bwd)
+_fusion_head_vjp.defvjp(_fwd, _bwd)

@@ -23,10 +23,18 @@ Mosaic-friendly 2D formulation (higher-rank transposes/reductions hit
   the quadrant-major flatten order.
 
 Equivalence with the lax path is pinned by tests/test_pallas_quadrant.py
-(interpret mode) and validated on hardware (max diff = bf16 eps at the
-flagship shapes; ~155 µs vs 159 µs for the XLA path at B=128).
-block_b=8 is the VMEM sweet spot: 16 exceeds the 16 MB scoped limit at
-the flagship channel counts.
+(interpret mode) and on hardware by scripts/tpu_kernel_checks.py (fwd
+and grads to 1e-7 relL2 at f32/HIGHEST; in bf16 the two independently
+rounded forwards flip ReLU/pool masks at near-ties → few-percent grad
+L2 noise, inherent, documented there). block_b: 8 is the fwd-only VMEM
+sweet spot; the training path emits the pre-pool activation residual
+(+2·bb·H·H·CO scoped bytes) and uses 4 to stay under the 16 MB scoped
+limit at flagship shapes (BS 256 OOMs at 8).
+
+Measured end-to-end vs the lax path (BENCH_NOTES.md, BS 256, v5e):
+lax wins — train 8,135 vs 7,503 img/s, infer 27,545 vs 25,810 — so
+``ModelConfig.use_pallas`` defaults False; this kernel remains the
+native-tier option for shapes XLA schedules poorly.
 """
 
 from __future__ import annotations
@@ -65,8 +73,8 @@ def _selection_matrix(h: int, dtype=np.float32) -> np.ndarray:
     return sel
 
 
-def _quadrant_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, *, bb: int,
-                     h: int, cin: int, cout: int):
+def _quadrant_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, a_ref=None, *,
+                     bb: int, h: int, cin: int, cout: int):
     hq = h // 2
     n = bb * h * h
     x = x_ref[:].reshape(n, cin)
@@ -91,6 +99,12 @@ def _quadrant_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, *, bb: int,
 
     y = jnp.maximum(acc + b_ref[:].astype(jnp.float32), 0.0)
 
+    # Post-ReLU pre-pool activation in full-map layout — the backward
+    # residual (pool-vjp + ReLU mask), so the VJP never re-runs the conv.
+    # Elided on the pure-inference path (a_ref=None → no extra HBM write).
+    if a_ref is not None:
+        a_ref[:] = y.reshape(bb, h, h, cout).astype(a_ref.dtype)
+
     # 2×2 maxpool via row-shifted maxes (anchors never cross sample,
     # quadrant, or block boundaries, so zero-fill rows are never chosen).
     y = jnp.maximum(jnp.maximum(y, _row_shift(y, 1)),
@@ -106,20 +120,35 @@ def _quadrant_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, *, bb: int,
                            ).astype(o_ref.dtype)
 
 
-def _lax_reference(fmap, kernel, bias):
-    """Differentiable lax formulation (ops.quadtree path) — provides the
-    VJP for the Pallas forward and the equivalence-test oracle."""
-    from surya_tpu.ops.quadtree import quadrant_flatten, quadrant_split
+def _conv(q, kernel):
+    return jax.lax.conv_general_dilated(
+        q, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _pool_flatten(act, b):
+    from surya_tpu.ops.quadtree import quadrant_flatten
+
+    p = jax.lax.reduce_window(act, -jnp.inf, jax.lax.max,
+                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return quadrant_flatten(p, b)
+
+
+def _lax_forward(fmap, kernel, bias):
+    """Differentiable lax formulation (ops.quadtree path) — the non-TPU
+    fallback and the equivalence-test oracle. Returns (out, act) where
+    act is the post-ReLU pre-pool activation (the backward residual)."""
+    from surya_tpu.ops.quadtree import quadrant_split
 
     b = fmap.shape[0]
     q = quadrant_split(fmap)
-    q = jax.lax.conv_general_dilated(
-        q, kernel.astype(fmap.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    q = jax.nn.relu(q + bias.astype(fmap.dtype))
-    q = jax.lax.reduce_window(q, -jnp.inf, jax.lax.max,
-                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-    return quadrant_flatten(q, b)
+    act = jax.nn.relu(_conv(q, kernel.astype(fmap.dtype))
+                      + bias.astype(fmap.dtype))
+    return _pool_flatten(act, b), act
+
+
+def _lax_reference(fmap, kernel, bias):
+    return _lax_forward(fmap, kernel, bias)[0]
 
 
 def _on_tpu() -> bool:
@@ -134,37 +163,68 @@ def quadrant_process(fmap: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas forward (TPU); falls back to the mathematically
     identical lax formulation on other backends (CPU tests, fake mesh).
-    Gradients always flow through the lax formulation."""
+    The backward consumes the saved pre-pool activation — pool-vjp +
+    ReLU mask + the two transposed convs — so the forward conv is never
+    recomputed (round-1 issue: the old VJP re-ran the whole lax forward)."""
     if not _on_tpu():
         return _lax_reference(fmap, kernel, bias)
     return _quadrant_process_impl(fmap, kernel, bias)
 
 
 def _quadrant_fwd(fmap, kernel, bias):
-    out = (_quadrant_process_impl(fmap, kernel, bias) if _on_tpu()
-           else _lax_reference(fmap, kernel, bias))
-    return out, (fmap, kernel, bias)
+    if _on_tpu():
+        from surya_tpu.ops.quadtree import quadrant_split
+
+        out, act_full = _quadrant_process_impl(fmap, kernel, bias,
+                                               with_act=True)
+        act = quadrant_split(act_full)      # (4B, hq, hq, CO)
+    else:
+        out, act = _lax_forward(fmap, kernel, bias)
+    return out, (fmap, kernel, bias, act)
 
 
 def _quadrant_bwd(res, g):
-    fmap, kernel, bias = res
-    _, vjp = jax.vjp(_lax_reference, fmap, kernel, bias)
-    return vjp(g.astype(jnp.result_type(fmap.dtype)))
+    fmap, kernel, bias, act = res
+    b = fmap.shape[0]
+    from surya_tpu.ops.quadtree import quadrant_merge, quadrant_split
+
+    # Maxpool + flatten VJP (elementwise re-run of the pool, no conv).
+    _, pool_vjp = jax.vjp(lambda a: _pool_flatten(a, b), act)
+    g_act, = pool_vjp(g.astype(act.dtype))
+    g_pre = jnp.where(act > 0, g_act, jnp.zeros_like(g_act))
+
+    # The two inherent backward convs, via linear transposition (conv is
+    # bilinear, so neither transpose needs the primal output).
+    quads = quadrant_split(fmap)
+    kd = kernel.astype(fmap.dtype)
+    g_quads, = jax.linear_transpose(lambda q: _conv(q, kd), quads)(g_pre)
+    g_kernel, = jax.linear_transpose(lambda k: _conv(quads, k), kd)(g_pre)
+    g_bias = jnp.sum(g_pre.astype(jnp.float32), axis=(0, 1, 2))
+    return (quadrant_merge(g_quads, b).astype(fmap.dtype),
+            g_kernel.astype(kernel.dtype), g_bias.astype(bias.dtype))
 
 
 quadrant_process.defvjp(_quadrant_fwd, _quadrant_bwd)
 
 
-@partial(jax.jit, static_argnames=("block_b",))
+@partial(jax.jit, static_argnames=("block_b", "with_act"))
 def _quadrant_process_impl(fmap: jnp.ndarray, kernel: jnp.ndarray,
                            bias: jnp.ndarray,
-                           block_b: int = 8) -> jnp.ndarray:
+                           block_b: int | None = None,
+                           with_act: bool = False):
     """(B, H, H, C) map + (3,3,C,CO) kernel + (CO,) bias →
     (B, 4·(H//4)·(H//4)·CO) fused quadrant features (accumulation in f32
-    on the MXU; output in fmap's dtype)."""
+    on the MXU; output in fmap's dtype). ``with_act=True`` additionally
+    returns the post-ReLU pre-pool activation (B, H, H, CO) in full-map
+    layout — the training-path backward residual."""
     b, h, w, cin = fmap.shape
     if h != w or h % 2:
         raise ValueError(f"need square map with even H, got {h}x{w}")
+    if block_b is None:
+        # 8 is the VMEM sweet spot for the fwd-only kernel; the act
+        # output (training residual) adds ~2×(bb·H·H·CO) to the scoped
+        # budget and OOMs at 8 with flagship shapes — use 4 there.
+        block_b = 4 if with_act else 8
     hp = (h // 2) // 2
     cout = kernel.shape[-1]
     n_sel = 4 * hp * hp
@@ -181,7 +241,16 @@ def _quadrant_process_impl(fmap: jnp.ndarray, kernel: jnp.ndarray,
     b2 = bias.reshape(1, cout).astype(jnp.float32)
     sel = jnp.asarray(_selection_matrix(h))
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((block_b, n_sel, cout), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bp, n_sel, cout), fmap.dtype)]
+    if with_act:
+        out_specs.append(pl.BlockSpec((block_b, h, h, cout),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bp, h, h, cout), fmap.dtype))
+
+    res = pl.pallas_call(
         partial(_quadrant_kernel, bb=block_b, h=h, cin=cin, cout=cout),
         grid=(bp // block_b,),
         in_specs=[
@@ -194,16 +263,18 @@ def _quadrant_process_impl(fmap: jnp.ndarray, kernel: jnp.ndarray,
             pl.BlockSpec((n_sel, h * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, n_sel, cout),
-                               lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, n_sel, cout), fmap.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * h * h * 9 * cin * cout
             + 2 * bp * n_sel * h * h * cout,
             bytes_accessed=(bp * h * h * cin + 9 * cin * cout
-                            + bp * out_dim) * 2,
+                            + bp * out_dim
+                            + (bp * h * h * cout if with_act else 0)) * 2,
             transcendentals=0,
         ),
     )(fmap, w9, b2, sel)
-    return out[:b].reshape(b, out_dim)
+    out = res[0][:b].reshape(b, out_dim)
+    if with_act:
+        return out, res[1][:b]
+    return out
