@@ -165,14 +165,16 @@ class DiskDataSource:
 
     @staticmethod
     def _pad_batch(batch, pad_to: int):
+        # sentinel label -1 on pad rows: make_eval_step masks them out,
+        # so multi-chip eval metrics are exact on any split size
         imgs, feats, labels = batch
         extra = (-len(labels)) % pad_to
         if extra:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], extra, 0)])
             feats = np.concatenate([feats,
                                     np.repeat(feats[-1:], extra, 0)])
-            labels = np.concatenate([labels,
-                                     np.repeat(labels[-1:], extra, 0)])
+            labels = np.concatenate(
+                [labels, np.full((extra,), -1, dtype=labels.dtype)])
         return imgs, feats, labels
 
     def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:

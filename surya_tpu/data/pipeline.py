@@ -73,12 +73,12 @@ class ArrayDataSource:
             bi, bf, bl = imgs[sl], feats[sl], labels[sl]
             pad = self.pad_eval_to
             if pad > 1 and len(bl) % pad:
-                # Pad by repeating the last sample; correctness impact is
-                # bounded and disclosed: padded copies count toward
-                # metrics. Use batch sizes divisible by the mesh for
-                # exact eval.
+                # Pad by repeating the last sample with SENTINEL label
+                # -1; make_eval_step masks sentinel rows out of every
+                # statistic, so eval metrics are exact on any split size.
                 extra = pad - (len(bl) % pad)
                 bi = np.concatenate([bi, np.repeat(bi[-1:], extra, 0)])
                 bf = np.concatenate([bf, np.repeat(bf[-1:], extra, 0)])
-                bl = np.concatenate([bl, np.repeat(bl[-1:], extra, 0)])
+                bl = np.concatenate(
+                    [bl, np.full((extra,), -1, dtype=bl.dtype)])
             yield bi, bf, bl

@@ -217,13 +217,15 @@ class SequenceDataSource:
         it = self._batches(split, np.arange(len(self.index[split])))
         if self.pad_eval_to > 1:
             def pad(batch):
-                arrs = []
+                # sentinel label -1 on pad rows (masked by the eval step)
                 extra = (-len(batch[2])) % self.pad_eval_to
-                for a in batch:
-                    if extra:
-                        a = np.concatenate(
-                            [a, np.repeat(a[-1:], extra, 0)])
-                    arrs.append(a)
+                if not extra:
+                    return batch
+                arrs = [np.concatenate([a, np.repeat(a[-1:], extra, 0)])
+                        for a in batch[:-1]]
+                labels = batch[-1]
+                arrs.append(np.concatenate(
+                    [labels, np.full((extra,), -1, dtype=labels.dtype)]))
                 return tuple(arrs)
             return (pad(b) for b in it)
         return it

@@ -25,6 +25,17 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return optax.softmax_cross_entropy(logits, one_hot).mean()
 
 
+def cross_entropy_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
+                             label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Per-sample softmax cross-entropy (B,) — for masked eval sums."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    if label_smoothing > 0:
+        one_hot = (one_hot * (1.0 - label_smoothing)
+                   + label_smoothing / num_classes)
+    return optax.softmax_cross_entropy(logits, one_hot)
+
+
 def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                gamma: float = 2.0, alpha=None) -> jnp.ndarray:
     """FL(p_t) = -alpha_t (1-p_t)^gamma log(p_t), mean-reduced."""

@@ -11,6 +11,8 @@ matrix + weighted P/R/F1.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Iterable
 
@@ -44,6 +46,15 @@ class EarlyStopping:
         self.bad_epochs = 0
         self.best_epoch = -1
 
+    def state_dict(self) -> dict:
+        return {"best": float(self.best), "bad_epochs": self.bad_epochs,
+                "best_epoch": self.best_epoch}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.bad_epochs = int(d["bad_epochs"])
+        self.best_epoch = int(d["best_epoch"])
+
     def update(self, value: float, epoch: int) -> bool:
         """Returns True if this value is a new best."""
         improved = (value < self.best - self.min_delta
@@ -74,6 +85,13 @@ class Plateau:
         self.mode = mode
         self.best = np.inf if mode == "min" else -np.inf
         self.bad_epochs = 0
+
+    def state_dict(self) -> dict:
+        return {"best": float(self.best), "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.bad_epochs = int(d["bad_epochs"])
 
     def update(self, value: float, current_lr: float) -> float | None:
         """Returns a new LR if it should change, else None."""
@@ -111,7 +129,9 @@ def evaluate(eval_step, params, batch_stats, batches: Iterable,
             totals = jax.tree.map(lambda a, b: a + np.asarray(b),
                                   totals, out)
     if totals is None:
-        return {"loss": float("nan"), "accuracy": 0.0, "count": 0}
+        # empty split: zeroed metrics with every key callers index
+        return {"loss": float("nan"), "accuracy": 0.0, "precision": 0.0,
+                "recall": 0.0, "f1": 0.0, "confusion": None, "count": 0}
     count = max(int(totals["count"]), 1)
     cm = totals["confusion"]
     p, r, f1 = (float(x) for x in precision_recall_f1(cm))
@@ -149,34 +169,55 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
     with mesh:
         state, tx = create_train_state(model, cfg, prng.named(0, "init"),
                                        sample)
+        stopper = EarlyStopping(cfg.train.early_stop_metric,
+                                cfg.train.early_stop_patience,
+                                cfg.train.early_stop_min_delta)
+        # Separate best-tracker for SAVING (checkpoint_metric may differ
+        # from the early-stop metric, e.g. stop on val_loss but keep the
+        # best-val-accuracy weights).
+        saver = EarlyStopping(cfg.train.checkpoint_metric, patience=0)
+        plateau = Plateau(cfg.train.plateau_patience,
+                          cfg.train.plateau_factor,
+                          cfg.train.plateau_min_lr,
+                          mode="min" if "loss" in
+                          cfg.train.early_stop_metric else "max")
+
+        loop_state_path = os.path.join(cfg.train.checkpoint_dir,
+                                       "loop_state.json")
         start_epoch = 0
+        step_count = 0
+        best_state = None
         if resume and checkpoints:
             mgr = CheckpointManager(cfg.train.checkpoint_dir)
             latest = mgr.latest_step()
             if latest is not None:
                 state = mgr.restore(latest, template=host_copy(state))
                 start_epoch = latest + 1
-                logger.log({"event": "resume", "from_epoch": latest})
+                # the restored checkpoint IS the best-so-far
+                best_state = host_copy(state)
+                # restore loop trackers + global step so the first
+                # post-resume epoch doesn't register as a fresh best and
+                # PRNG fold-ins don't replay step 0's keys
+                if os.path.exists(loop_state_path):
+                    with open(loop_state_path) as f:
+                        ls = json.load(f)
+                    if ls.get("epoch") == latest:
+                        stopper.load_state_dict(ls["stopper"])
+                        saver.load_state_dict(ls["saver"])
+                        plateau.load_state_dict(ls["plateau"])
+                        step_count = int(ls["step_count"])
+                logger.log({"event": "resume", "from_epoch": latest,
+                            "step_count": step_count})
             mgr.close()
         state = replicate(mesh, state)
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model, cfg.model.num_classes,
                                    cfg.train.label_smoothing)
 
-        stopper = EarlyStopping(cfg.train.early_stop_metric,
-                                cfg.train.early_stop_patience,
-                                cfg.train.early_stop_min_delta)
-        plateau = Plateau(cfg.train.plateau_patience,
-                          cfg.train.plateau_factor,
-                          cfg.train.plateau_min_lr,
-                          mode="min" if "loss" in
-                          cfg.train.early_stop_metric else "max")
         ckpt = (CheckpointManager(cfg.train.checkpoint_dir)
                 if checkpoints else None)
 
         history = []
-        best_state = None
-        step_count = 0
         profiled = False
         for epoch in range(start_epoch, cfg.train.epochs):
             if profile_dir and epoch == start_epoch + 1 and not profiled:
@@ -238,10 +279,15 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
             monitored = (val["loss"]
                          if "loss" in cfg.train.early_stop_metric
                          else val["accuracy"])
-            if stopper.update(monitored, epoch):
+            stopper.update(monitored, epoch)
+            ckpt_value = (val["loss"]
+                          if "loss" in cfg.train.checkpoint_metric
+                          else val["accuracy"])
+            saved_this_epoch = saver.update(ckpt_value, epoch)
+            if saved_this_epoch:
                 best_state = host_copy(state)
                 if ckpt:
-                    ckpt.save(epoch, host_copy(state),
+                    ckpt.save(epoch, best_state,
                               metrics={"val_loss": val["loss"],
                                        "val_accuracy": val["accuracy"]})
             new_lr = plateau.update(monitored, current_lr)
@@ -250,6 +296,15 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                             "lr": new_lr})
                 state = state.replace(
                     opt_state=set_learning_rate(state.opt_state, new_lr))
+            if ckpt and saved_this_epoch:
+                # persist loop trackers keyed to the saved checkpoint so
+                # resume restores them (written after the plateau update
+                # so this epoch's LR decision is captured)
+                with open(loop_state_path, "w") as f:
+                    json.dump({"epoch": epoch, "step_count": step_count,
+                               "stopper": stopper.state_dict(),
+                               "saver": saver.state_dict(),
+                               "plateau": plateau.state_dict()}, f)
             if stopper.should_stop:
                 logger.log({"event": "early_stop", "epoch": epoch,
                             "best_epoch": stopper.best_epoch})
@@ -258,6 +313,8 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
         final_state = best_state if best_state is not None else state
         summary = {"history": history, "best_epoch": stopper.best_epoch,
                    "best_metric": float(stopper.best),
+                   "checkpoint_best": float(saver.best),
+                   "checkpoint_best_epoch": saver.best_epoch,
                    "state": final_state}
 
         try:

@@ -10,8 +10,15 @@ single-device BN semantics to synced BN at no cost.
 
 Freezing (``cnn+lstm/models.py:26-27``, ``3dcnn/models.py:229-237,
 291-297``, ``experiment/models_cnn.py:16-17``) is an optax mask: frozen
-params get no updates AND no weight decay; their BN layers run in
-inference mode (the model's ``freeze_backbone`` attribute controls that).
+params get no updates AND no weight decay. BN statistics under freezing
+differ by family, each matching its reference script: SPATIAL models
+(quadtree/hierarchical/standard) keep updating frozen-trunk BN running
+stats in train mode — exactly what the reference's ``model.train()``
+with ``requires_grad=False`` does (``experiment/models_cnn.py:16-17``);
+TEMPORAL models take a ``freeze_backbone`` attribute and switch frozen
+BN to inference mode so the pretrained r3d_18/ViT statistics aren't
+corrupted by tiny fine-tune batches (the partial-unfreeze intent of
+``3dcnn/models.py:229-237``).
 
 NaN-loss guarding (``3dcnn/train_3D_Quadtree_cnn_model.py:127-129``)
 happens inside the compiled step: a non-finite loss selects the old state
@@ -29,7 +36,7 @@ import optax
 from flax import struct, traverse_util
 
 from surya_tpu.core.config import Config
-from surya_tpu.models.losses import cross_entropy
+from surya_tpu.models.losses import cross_entropy, cross_entropy_per_sample
 
 
 class TrainState(struct.PyTreeNode):
@@ -166,20 +173,28 @@ def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
 
 def make_eval_step(model: nn.Module, num_classes: int,
                    label_smoothing: float = 0.0) -> Callable:
-    """(params, batch_stats, batch) → dict with loss-sum/correct/confusion."""
+    """(params, batch_stats, batch) → dict with loss-sum/correct/confusion.
+
+    Rows with label < 0 are padding (multi-chip eval pads ragged tail
+    batches to the data-axis size — data/pipeline.py) and are masked out
+    of every statistic, so eval metrics are exact on any split size.
+    """
 
     def step(params, batch_stats, batch):
         images, feats, labels = batch
         variables = {"params": params, "batch_stats": batch_stats}
         logits = model.apply(variables, images, feats, train=False)
-        loss = cross_entropy(logits, labels, label_smoothing)
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
+        per = cross_entropy_per_sample(logits, safe, label_smoothing)
         preds = jnp.argmax(logits, axis=-1)
-        b = labels.shape[0]
+        w = valid.astype(jnp.float32)
         cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-        cm = cm.at[labels, preds].add(1)
-        return {"loss_sum": loss * b,
-                "correct": jnp.sum((preds == labels).astype(jnp.int32)),
-                "count": jnp.asarray(b, jnp.int32),
+        cm = cm.at[safe, preds].add(valid.astype(jnp.int32))
+        return {"loss_sum": jnp.sum(per * w),
+                "correct": jnp.sum(((preds == safe) & valid).astype(
+                    jnp.int32)),
+                "count": jnp.sum(valid.astype(jnp.int32)),
                 "confusion": cm}
 
     return jax.jit(step)

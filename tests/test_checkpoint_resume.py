@@ -72,3 +72,47 @@ def test_resume_continues_training(tmp_path, mesh8):
     assert epochs_run[0] >= 2, epochs_run
     # training actually continued (loss kept falling or stayed finite)
     assert np.isfinite(s2["history"][-1]["train_loss"])
+
+
+def test_resume_restores_loop_trackers(tmp_path, mesh8):
+    """ADVICE r1 (medium): resume must restore EarlyStopping/saver/step
+    state — the first post-resume epoch must NOT register as a fresh
+    best (stopper.best no longer resets to inf) and the global step must
+    continue (PRNG fold-ins don't replay)."""
+    import json
+    import os
+
+    data = _data()
+    cfg1 = _cfg(tmp_path, 2)
+    s1 = train_and_evaluate(cfg1, data, mesh=mesh8,
+                            logger=MetricsLogger(echo=False),
+                            checkpoints=True)
+    ls_path = os.path.join(cfg1.train.checkpoint_dir, "loop_state.json")
+    assert os.path.exists(ls_path)
+    with open(ls_path) as f:
+        ls = json.load(f)
+    assert ls["step_count"] > 0
+    pre_best = ls["saver"]["best"]
+    assert np.isfinite(pre_best)
+
+    # worsen nothing: resume with zero extra epochs → summary must carry
+    # the restored best rather than inf/-inf
+    cfg2 = _cfg(tmp_path, 4)
+    logs = []
+
+    class Cap(MetricsLogger):
+        def __init__(self):
+            super().__init__(echo=False)
+
+        def log(self, rec):
+            logs.append(rec)
+            super().log(rec)
+
+    s2 = train_and_evaluate(cfg2, data, mesh=mesh8, logger=Cap(),
+                            checkpoints=True, resume=True)
+    resume_events = [r for r in logs if r.get("event") == "resume"]
+    assert resume_events and resume_events[0]["step_count"] == \
+        ls["step_count"]
+    # the pre-resume best is comparable: post-resume best can only be
+    # equal or better (val_loss mode: <=), never a reset
+    assert s2["checkpoint_best"] <= pre_best + 1e-9
