@@ -15,7 +15,14 @@ max-normalized.
 Supported models: ``quadtree`` (targets ``layer3`` — the quadtree's
 shared map — or ``layer4`` — the global branch, the reference's choice),
 ``standard_resnet`` and ``standard_multimodal`` with resnet backbones
-(target ``layer4``).
+(target ``layer4``), and the hierarchical families
+``hierarchical_quadtree`` / ``attention_hierarchical`` (targets:
+``layer2`` — the shared 28×28 base map every hierarchy level reads —
+or ``level1`` / ``level2`` — the shared quadrant-conv activations,
+whose per-quadrant CAMs are stitched back into a full-image map with
+``quadrant_merge``). The reference CAMs only its resnet-ish models; the
+hierarchical coverage here is an extension enabled by the functional
+formulation.
 """
 
 from __future__ import annotations
@@ -26,8 +33,16 @@ import numpy as np
 
 from surya_tpu.core.config import ModelConfig
 from surya_tpu.models.backbones.resnet import make_resnet, stem_is_s2d
-from surya_tpu.models.common import FusionClassifier, NumericalMLP
-from surya_tpu.ops.quadtree import quadrant_flatten, quadrant_split
+from surya_tpu.models.common import (
+    FusionClassifier,
+    NumericalMLP,
+    SingleLayerNumericalMLP,
+)
+from surya_tpu.ops.quadtree import (
+    quadrant_flatten,
+    quadrant_merge,
+    quadrant_split,
+)
 
 
 def _trunk_vars(variables, *path):
@@ -39,12 +54,19 @@ def _trunk_vars(variables, *path):
     return {"params": params, "batch_stats": stats}
 
 
-def _cam_from(act, grad):
-    """(B,h,w,C) activation+gradient → (B,h,w) normalized heatmap."""
+def _cam_raw(act, grad):
+    """(B,h,w,C) activation+gradient → (B,h,w) unnormalized heatmap."""
     weights = jnp.mean(grad, axis=(1, 2), keepdims=True)   # (B,1,1,C)
-    cam = jax.nn.relu(jnp.sum(weights * act, axis=-1))     # (B,h,w)
+    return jax.nn.relu(jnp.sum(weights * act, axis=-1))    # (B,h,w)
+
+
+def _cam_normalize(cam):
     maxv = jnp.max(cam, axis=(1, 2), keepdims=True)
     return cam / jnp.maximum(maxv, 1e-12)
+
+
+def _cam_from(act, grad):
+    return _cam_normalize(_cam_raw(act, grad))
 
 
 def _one_hot_seed(logits, target_class):
@@ -83,7 +105,7 @@ def _quadtree_logits_from(cfg: ModelConfig, variables, act, fmap, feats,
     img_feat = jnp.concatenate([global_feat, quad_flat], axis=-1)
 
     if cfg.mode == "fusion":
-        num_feat = NumericalMLP(out_dim=256, dropout=0.3,
+        num_feat = NumericalMLP(out_dim=256, dropout=0.5,
                                 dtype=jnp.float32).apply(
             {"params": params["numerical_mlp"]}, feats, train=False)
         fused = jnp.concatenate([img_feat, num_feat], axis=-1)
@@ -95,11 +117,82 @@ def _quadtree_logits_from(cfg: ModelConfig, variables, act, fmap, feats,
         {"params": params["classifier"]}, fused, train=False)
 
 
+def _conv3x3_relu(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.nn.relu(y + bias.astype(y.dtype))
+
+
+def _hier_head(cfg: ModelConfig, params, g, l1_feat, l2_feat, feats):
+    """Hierarchical classifier head from the three level embeddings:
+    g (B,512), l1_feat (B,4,128), l2_feat (B,16,64)."""
+    b = g.shape[0]
+    if cfg.name == "attention_hierarchical":
+        scores = l2_feat @ params["attn_fc1"]["kernel"] + \
+            params["attn_fc1"]["bias"]
+        scores = jax.nn.relu(scores)
+        scores = scores @ params["attn_fc2"]["kernel"] + \
+            params["attn_fc2"]["bias"]                      # (B,16,1)
+        weights = jax.nn.softmax(scores, axis=1)
+        l2_out = jnp.sum(weights * l2_feat, axis=1)         # (B,64)
+    else:
+        l2_out = l2_feat.reshape(b, -1)                     # (B,1024)
+    img_feat = jnp.concatenate([g, l1_feat.reshape(b, -1), l2_out],
+                               axis=-1)
+    if cfg.mode == "fusion":
+        num_feat = SingleLayerNumericalMLP(
+            out_dim=128, dtype=jnp.float32).apply(
+            {"params": params["numerical_mlp"]}, feats, train=False)
+        img_feat = jnp.concatenate([img_feat, num_feat], axis=-1)
+    return FusionClassifier(num_classes=cfg.num_classes,
+                            hidden_dim=1024, dropout=0.5,
+                            dtype=jnp.float32).apply(
+        {"params": params["classifier"]}, img_feat, train=False)
+
+
+def _hier_logits_from(cfg: ModelConfig, variables, act, consts, feats,
+                      target_layer):
+    """Tail forward for the hierarchical families.
+
+    target_layer='layer2': act is the shared base map (B,28,28,128) —
+    everything recomputes from it. 'level1'/'level2': act is the shared
+    quadrant-conv activation ((4B|16B),h,w,C) pre-GAP; the other
+    branches enter as constants."""
+    params = variables["params"]
+    if target_layer == "layer2":
+        base = act
+        b = base.shape[0]
+        trunk = make_resnet(cfg.backbone, dtype=jnp.float32,
+                            stem_s2d=stem_is_s2d(params["trunk"]))
+        tv = _trunk_vars(variables, "trunk")
+        gmap = trunk.apply(tv, base, train=False, start="layer3")["out"]
+        g = jnp.mean(gmap, axis=(1, 2))
+        l1_raw = quadrant_split(base)
+        l1_feat = jnp.mean(_conv3x3_relu(
+            l1_raw, params["level1_conv"]["kernel"],
+            params["level1_conv"]["bias"]), axis=(1, 2)).reshape(b, 4, 128)
+        l2_raw = quadrant_split(l1_raw)
+        l2_feat = jnp.mean(_conv3x3_relu(
+            l2_raw, params["level2_conv"]["kernel"],
+            params["level2_conv"]["bias"]), axis=(1, 2)).reshape(b, 16, 64)
+    elif target_layer == "level1":
+        b = consts["g"].shape[0]
+        g, l2_feat = consts["g"], consts["l2_feat"]
+        l1_feat = jnp.mean(act, axis=(1, 2)).reshape(b, 4, 128)
+    else:  # level2
+        b = consts["g"].shape[0]
+        g, l1_feat = consts["g"], consts["l1_feat"]
+        l2_feat = jnp.mean(act, axis=(1, 2)).reshape(b, 16, 64)
+    return _hier_head(cfg, params, g, l1_feat, l2_feat, feats)
+
+
 def _standard_logits_from(cfg: ModelConfig, variables, act, feats):
     params = variables["params"]
     feat = jnp.mean(act, axis=(1, 2))
     if cfg.name == "standard_multimodal" and cfg.mode == "fusion":
-        num_feat = NumericalMLP(out_dim=256, dropout=0.3,
+        num_feat = NumericalMLP(out_dim=256, dropout=0.5,
                                 dtype=jnp.float32).apply(
             {"params": params["numerical_mlp"]}, feats, train=False)
         feat = jnp.concatenate([feat, num_feat], axis=-1)
@@ -116,10 +209,12 @@ def grad_cam(cfg: ModelConfig, variables, images, feats,
     """Returns (heatmaps (B,h,w), preds (B,), logits (B,C))."""
     images = jnp.asarray(images, jnp.float32)
     feats = jnp.asarray(feats, jnp.float32)
-    if cfg.name == "quadtree":
-        s2d = stem_is_s2d(variables["params"]["trunk"])
+    params = variables["params"]
+    if cfg.name in ("quadtree", "hierarchical_quadtree",
+                    "attention_hierarchical"):
+        s2d = stem_is_s2d(params["trunk"])
     else:
-        s2d = stem_is_s2d(variables["params"]["trunk"]["resnet"])
+        s2d = stem_is_s2d(params["trunk"]["resnet"])
     trunk = make_resnet(cfg.backbone, dtype=jnp.float32, stem_s2d=s2d)
 
     if cfg.name == "quadtree":
@@ -134,6 +229,55 @@ def grad_cam(cfg: ModelConfig, variables, images, feats,
             raise ValueError("quadtree targets: layer3 | layer4")
         tail = lambda a: _quadtree_logits_from(  # noqa: E731
             cfg, variables, a, fmap, feats, target_layer)
+    elif cfg.name in ("hierarchical_quadtree", "attention_hierarchical"):
+        tv = _trunk_vars(variables, "trunk")
+        base = trunk.apply(tv, images, train=False, upto="layer2")["out"]
+        merges = 0
+        consts = {}
+        if target_layer in ("layer2", "base", "layer4"):
+            # layer4 is the generic drivers' default — for the
+            # hierarchical families the shared base map is the analogue
+            target_layer = "layer2"
+            act = base
+        elif target_layer in ("level1", "level2"):
+            l1_raw = quadrant_split(base)
+            l1_act = _conv3x3_relu(l1_raw,
+                                   params["level1_conv"]["kernel"],
+                                   params["level1_conv"]["bias"])
+            gmap = trunk.apply(tv, base, train=False,
+                               start="layer3")["out"]
+            b = base.shape[0]
+            consts["g"] = jnp.mean(gmap, axis=(1, 2))
+            if target_layer == "level1":
+                act = l1_act
+                merges = 1
+                consts["l2_feat"] = jnp.mean(_conv3x3_relu(
+                    quadrant_split(l1_raw),
+                    params["level2_conv"]["kernel"],
+                    params["level2_conv"]["bias"]),
+                    axis=(1, 2)).reshape(b, 16, 64)
+            else:
+                act = _conv3x3_relu(quadrant_split(l1_raw),
+                                    params["level2_conv"]["kernel"],
+                                    params["level2_conv"]["bias"])
+                merges = 2
+                consts["l1_feat"] = jnp.mean(l1_act,
+                                             axis=(1, 2)).reshape(b, 4,
+                                                                  128)
+        else:
+            raise ValueError(
+                "hierarchical targets: layer2 | level1 | level2")
+        tl = target_layer
+        tail = lambda a: _hier_logits_from(  # noqa: E731
+            cfg, variables, a, consts, feats, tl)
+        logits, vjp = jax.vjp(tail, act)
+        seed, preds = _one_hot_seed(logits, target_class)
+        (grad,) = vjp(seed)
+        cam = _cam_raw(act, grad)                 # (B·4^merges, h, w)
+        for _ in range(merges):                   # stitch quadrants back
+            cam = quadrant_merge(cam[..., None],
+                                 cam.shape[0] // 4)[..., 0]
+        return _cam_normalize(cam), preds, logits
     elif cfg.name in ("standard_resnet", "standard_multimodal"):
         if not cfg.backbone.startswith("resnet"):
             raise NotImplementedError(

@@ -27,8 +27,10 @@ import numpy as np
 
 
 def _np(t):
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
-                      else t)
+    # np.array (copy), NOT np.asarray: torch optimizers update tensors
+    # in-place, and a view would silently mutate already-imported params
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach")
+                    else t)
 
 
 def conv_kernel(w) -> np.ndarray:
@@ -136,7 +138,7 @@ def import_r3d18(state_dict):
     return params, stats
 
 
-def import_vit_base(state_dict):
+def import_vit_base(state_dict, heads: int = 12):
     """timm vit_base_patch16_224 → surya_tpu ViT params.
 
     timm naming: patch_embed.proj, cls_token, pos_embed,
@@ -146,7 +148,6 @@ def import_vit_base(state_dict):
     """
     sd = state_dict
     d = _np(sd["cls_token"]).shape[-1]
-    heads = 12
     hd = d // heads
     params: dict = {
         "patch_embed": {"kernel": conv_kernel(

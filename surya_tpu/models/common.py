@@ -1,9 +1,11 @@
 """Shared model components: numerical-feature MLP, fusion classifier, modes.
 
 Every spatial model in the reference repeats the same two heads:
-- numerical MLP 47→94→ReLU→Dropout→256 (``Quadtree_from scratch/
-  models.py:255-260``; 47→94→256 without dropout in ``comparative
-  analysis/model.py:42-47``)
+- numerical MLP Linear(47→94)→ReLU→Dropout(0.5)→Linear(94→256), NO final
+  activation (``Quadtree_from scratch/models.py:255-260``, ``comparative
+  analysis/model.py:43-48``, ``experiment/models_cnn.py:47-52``)
+- single-layer numeric variant Linear(47→128)→ReLU→Dropout(0.5) used by
+  the hierarchical models (``Quadtree_from scratch/models.py:151-155``)
 - fusion classifier (img_dim+num_dim)→hidden→ReLU→Dropout(0.5)→classes
   (``models.py:266-271``)
 plus the fusion/image_only/numerical_only ablation switch
@@ -27,11 +29,12 @@ def check_mode(mode: str) -> None:
 
 
 class NumericalMLP(nn.Module):
-    """47 → hidden (=2×in) → ReLU → Dropout → out projection."""
+    """47 → hidden (=2×in) → ReLU → Dropout → out projection (no final
+    activation, matching ``Quadtree_from scratch/models.py:255-260``)."""
 
     out_dim: int = 256
     hidden_dim: int | None = None  # default 2× input dim (47→94)
-    dropout: float = 0.3
+    dropout: float = 0.5
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -42,9 +45,26 @@ class NumericalMLP(nn.Module):
                      name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="fc2")(x)
+
+
+class SingleLayerNumericalMLP(nn.Module):
+    """Linear(47→128) → ReLU → Dropout — the hierarchical models' numeric
+    branch (``Quadtree_from scratch/models.py:151-155`` and ``:44-47``).
+    Note dropout is the LAST op (active at train time on the output)."""
+
+    out_dim: int = 128
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
         x = nn.Dense(self.out_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc2")(x)
-        return nn.relu(x)
+                     param_dtype=jnp.float32, name="fc1")(
+                         x.astype(self.dtype))
+        x = nn.relu(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
 class _DenseParams(nn.Module):

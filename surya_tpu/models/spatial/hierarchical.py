@@ -5,7 +5,8 @@ models.py:105-210``: trunk stops at layer2 (28×28×128 @224); a global
 branch runs layer3+layer4+GAP → 512; level-1 splits the map into 4
 quadrants (14×14) through a shared Conv(128→128)+GAP → 4×128; level-2
 splits into 16 sub-quadrants (7×7) through a shared Conv(128→64)+GAP →
-16×64; image dim 512+512+1024=2048, numeric MLP → 128, classifier
+16×64; image dim 512+512+1024=2048, numeric branch Linear(47→128)+ReLU+
+Dropout (single layer, ``models.py:151-155``), classifier
 2176→1024→classes.
 
 NOTE: the reference has a latent zero-width-slice bug — its Q4/sub-Q4
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 from surya_tpu.models.backbones.resnet import make_resnet
 from surya_tpu.models.common import (
     FusionClassifier,
-    NumericalMLP,
+    SingleLayerNumericalMLP,
     check_mode,
     fuse_by_mode,
 )
@@ -102,10 +103,10 @@ class HierarchicalQuadtreeCNN(_HierarchicalBase):
             img_feat = jnp.concatenate(
                 [g, l1.reshape(b, -1), l2.reshape(b, -1)], axis=-1)  # 2048
         if self.mode != "image_only":
-            num_feat = NumericalMLP(out_dim=128, dropout=0.3,
-                                    dtype=self.dtype,
-                                    name="numerical_mlp")(numerical,
-                                                          train=train)
+            # single Linear(47→128)+ReLU+Dropout (models.py:151-155)
+            num_feat = SingleLayerNumericalMLP(
+                out_dim=128, dropout=0.5, dtype=self.dtype,
+                name="numerical_mlp")(numerical, train=train)
         fused = fuse_by_mode(self.mode, img_feat, num_feat)
         return FusionClassifier(num_classes=self.num_classes,
                                 hidden_dim=1024, dropout=0.5,
@@ -138,10 +139,10 @@ class AttentionHierarchicalCNN(_HierarchicalBase):
             img_feat = jnp.concatenate(
                 [g, l1.reshape(b, -1), attended], axis=-1)  # 1088
         if self.mode != "image_only":
-            num_feat = NumericalMLP(out_dim=128, dropout=0.3,
-                                    dtype=self.dtype,
-                                    name="numerical_mlp")(numerical,
-                                                          train=train)
+            # single Linear(47→128)+ReLU+Dropout (models.py:44-47)
+            num_feat = SingleLayerNumericalMLP(
+                out_dim=128, dropout=0.5, dtype=self.dtype,
+                name="numerical_mlp")(numerical, train=train)
         fused = fuse_by_mode(self.mode, img_feat, num_feat)
         return FusionClassifier(num_classes=self.num_classes,
                                 hidden_dim=1024, dropout=0.5,

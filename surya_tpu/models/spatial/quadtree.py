@@ -101,8 +101,9 @@ class QuadtreeCNN(nn.Module):
                 [global_feat, quad_flat.astype(self.dtype)], axis=-1)
 
         if self.mode != "image_only":
-            num_feat = NumericalMLP(out_dim=self.num_mlp_out, dropout=0.3,
-                                    dtype=self.dtype,
+            # same dropout_rate as the classifier (models.py:255-260)
+            num_feat = NumericalMLP(out_dim=self.num_mlp_out,
+                                    dropout=self.dropout, dtype=self.dtype,
                                     name="numerical_mlp")(numerical,
                                                           train=train)
 

@@ -68,7 +68,7 @@ class StandardMultimodalCNN(nn.Module):
                 self.backbone, self.dtype, name="trunk",
                 stem_s2d=self.stem_s2d)(images, train=train)
         if self.mode != "image_only":
-            num_feat = NumericalMLP(out_dim=self.num_mlp_out, dropout=0.3,
+            num_feat = NumericalMLP(out_dim=self.num_mlp_out, dropout=0.5,
                                     dtype=self.dtype,
                                     name="numerical_mlp")(numerical,
                                                           train=train)
