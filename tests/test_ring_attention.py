@@ -80,6 +80,103 @@ def test_bf16_inputs(seq_mesh):
         rtol=5e-2, atol=5e-2)
 
 
+def test_non_divisible_token_count(seq_mesh):
+    """T=27 on an 8-way seq axis: internal padding must be exact."""
+    q, k, v = _qkv(t=27)
+    with seq_mesh:
+        got = ring_attention(q, k, v, seq_mesh)
+    want = full_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_causal_mask(seq_mesh):
+    q, k, v = _qkv(t=32)
+    t = q.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    with seq_mesh:
+        got = ring_attention(q, k, v, seq_mesh, mask=causal)
+    want = full_attention_reference(q, k, v, mask=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_padding_mask_and_nondivisible(seq_mesh):
+    """Per-batch key-padding mask combined with T % axis != 0."""
+    q, k, v = _qkv(b=3, t=21)
+    lengths = jnp.asarray([21, 13, 5])
+    keymask = (jnp.arange(21)[None] < lengths[:, None])  # (B, Tk)
+    mask = keymask[:, None, None, :]                      # (B,1,1,Tk)
+    with seq_mesh:
+        got = ring_attention(q, k, v, seq_mesh, mask=mask)
+    want = full_attention_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_additive_bias(seq_mesh):
+    q, k, v = _qkv(t=16)
+    rng = np.random.default_rng(3)
+    bias = jnp.asarray(rng.normal(size=(1, q.shape[2], 16, 16)),
+                       jnp.float32)
+    with seq_mesh:
+        got = ring_attention(q, k, v, seq_mesh, bias=bias)
+    want = full_attention_reference(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_masked_grads_match(seq_mesh):
+    q, k, v = _qkv(t=24)
+    t = q.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, seq_mesh,
+                                      mask=causal) ** 2)
+
+    def loss_full(q, k, v):
+        return jnp.sum(full_attention_reference(q, k, v,
+                                                mask=causal) ** 2)
+
+    with seq_mesh:
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attention_dropout_on_ring(seq_mesh):
+    """Flax-semantics attention dropout: deterministic off-switch,
+    rng-reproducible, unbiased in expectation."""
+    q, k, v = _qkv(t=16)
+    clean = ring_attention(q, k, v, seq_mesh)
+
+    # jit once over the key: each bare call re-traces shard_map
+    @jax.jit
+    def dropped(key):
+        return ring_attention(q, k, v, seq_mesh, dropout_rate=0.3,
+                              dropout_rng=key)
+
+    with seq_mesh:
+        d1 = np.asarray(dropped(jax.random.key(0)))
+        d1b = np.asarray(dropped(jax.random.key(0)))
+        d2 = np.asarray(dropped(jax.random.key(1)))
+    # reproducible given the rng; different rng → different output
+    np.testing.assert_array_equal(d1, d1b)
+    assert not np.allclose(d1, d2)
+    assert not np.allclose(d1, np.asarray(clean))
+    assert np.isfinite(d1).all()
+    # unbiased: the mean over many draws approaches the clean output
+    with seq_mesh:
+        outs = [np.asarray(dropped(jax.random.key(100 + i)))
+                for i in range(48)]
+    err = np.abs(np.mean(outs, axis=0) - np.asarray(clean)).mean()
+    scale = np.abs(np.asarray(clean)).mean()
+    assert err < 0.15 * scale, (err, scale)
+
+
 def test_fact_with_cp_mesh_matches_plain():
     """FACT fusion attention over a 3-way seq mesh == plain attention
     (same params; 2T+1 = 9 tokens → 3 per device)."""
