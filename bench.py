@@ -38,11 +38,12 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "4"))
+    stem_s2d = os.environ.get("BENCH_S2D", "0") == "1"
 
     cfg = Config(
         model=ModelConfig(name=model_name, mode="fusion", num_classes=8,
                           compute_dtype="bfloat16", use_pallas=use_pallas,
-                          seq_len=seq_len),
+                          seq_len=seq_len, stem_space_to_depth=stem_s2d),
         data=DataConfig(batch_size=batch_size),
         train=TrainConfig(lr=1e-4, weight_decay=1e-4, nan_guard=False),
     )

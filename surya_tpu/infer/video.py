@@ -57,9 +57,17 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
                         class_names: list[str],
                         output_path: str | None = None,
                         extractor=None, batch_size: int = 16,
-                        image_size: int = 224) -> list[dict]:
+                        image_size: int = 224,
+                        display: bool = False) -> list[dict]:
     """Returns per-frame records [{frame, label, confidence}] and
-    optionally writes the annotated video."""
+    optionally writes the annotated video.
+
+    ``display=True`` additionally shows each annotated frame in a live
+    window (``cv2.imshow``; quit with 'q') — parity with the reference's
+    interactive mode (``experiment/test_on_video_cnn.py:294-300``).
+    Requires a GUI-capable OpenCV build; headless environments should
+    use ``output_path`` instead. Note: display implies per-frame
+    annotation, so with ``batch_size>1`` frames show in batch bursts."""
     try:
         import cv2
     except ImportError as e:  # pragma: no cover
@@ -128,7 +136,7 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
             conf = float(confs[i])
             records.append({"frame": frame_idx, "label": label,
                             "confidence": conf})
-            if writer is not None:
+            if writer is not None or display:
                 if det[i]:
                     # skeleton overlay (test_on_video_cnn.py:280-292)
                     from surya_tpu.data.prep.sequence_features import (
@@ -139,12 +147,21 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
                 cv2.putText(frame, f"{label} ({conf:.2f})", (16, 40),
                             cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0),
                             2)
-                writer.write(frame)
+                if writer is not None:
+                    writer.write(frame)
+                if display:
+                    # live window (test_on_video_cnn.py:294-300)
+                    cv2.imshow("surya_tpu inference", frame)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        done = True
+                        break
             frame_idx += 1
 
     cap.release()
     if writer is not None:
         writer.release()
+    if display:
+        cv2.destroyAllWindows()
     return records
 
 
@@ -162,6 +179,8 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="fusion")
     ap.add_argument("--classes", required=True,
                     help="JSON file with class names list")
+    ap.add_argument("--display", action="store_true",
+                    help="show annotated frames live (q to quit)")
     args = ap.parse_args()
     with open(args.classes) as f:
         class_names = json.load(f)
@@ -169,6 +188,7 @@ if __name__ == "__main__":
                       num_classes=len(class_names))
     variables = load_params(args.params_path)
     recs = run_video_inference(cfg, variables, args.video, class_names,
-                               output_path=args.out)
+                               output_path=args.out,
+                               display=args.display)
     print(json.dumps(recs[:10], indent=2))
     print(f"{len(recs)} frames classified")

@@ -90,3 +90,32 @@ def test_batch_grad_cam_rejects_numerical_only():
     cfg = ModelConfig(name="quadtree", mode="numerical_only")
     with _pytest.raises(ValueError):
         next(iter(batch_grad_cam(cfg, {}, [])))
+
+
+@pytest.mark.parametrize("name", ["hierarchical_quadtree",
+                                  "attention_hierarchical"])
+@pytest.mark.parametrize("target", ["layer2", "level1", "level2"])
+def test_hierarchical_gradcam_logit_parity(name, target):
+    cfg, model, variables, images, feats = _setup(name)
+    cams, preds, logits = grad_cam(cfg, variables, images, feats,
+                                   target_layer=target)
+    want = model.apply(variables, images, feats, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # 64px input → layer2 map 8×8; level CAMs stitch back to 8×8/4×4-of-
+    # quadrants resolution: level1 quadrants are 4×4 → merged 8×8,
+    # level2 sub-quadrants 2×2 → merged 8×8 as well.
+    assert cams.shape == (2, 8, 8) if target != "level2" else \
+        cams.shape == (2, 8, 8)
+    c = np.asarray(cams)
+    assert np.all(np.isfinite(c)) and c.min() >= 0 and c.max() <= 1 + 1e-6
+
+
+def test_hierarchical_gradcam_image_only_mode():
+    cfg, model, variables, images, feats = _setup(
+        "hierarchical_quadtree", mode="image_only")
+    cams, _, logits = grad_cam(cfg, variables, images, feats,
+                               target_layer="layer2")
+    want = model.apply(variables, images, feats, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
