@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from surya_tpu.data.synthetic import make_synthetic_spatial  # noqa: E402
 
 
-def write_split(root, split, per_class, image_size, seed):
+def write_split(root, split, per_class, image_size, seed, noise=0.1):
     images, feats, labels = make_synthetic_spatial(
-        per_class=per_class, image_size=image_size, seed=seed)
+        per_class=per_class, image_size=image_size, seed=seed,
+        noise=noise)
     for i, (img, f, y) in enumerate(zip(images, feats, labels)):
         cdir = os.path.join(root, split, f"pose_{y}")
         os.makedirs(cdir, exist_ok=True)
@@ -41,18 +42,26 @@ def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/root/datasets/synth8"
     per_class = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     image_size = int(sys.argv[3]) if len(sys.argv) > 3 else 96
-    feats, labels = write_split(root, "train", per_class, image_size, 0)
-    write_split(root, "valid", max(per_class // 4, 4), image_size, 1)
-    write_split(root, "test", max(per_class // 4, 4), image_size, 2)
+    noise = float(sys.argv[4]) if len(sys.argv) > 4 else 0.1
+    feats, labels = write_split(root, "train", per_class, image_size, 0,
+                                noise)
+    write_split(root, "valid", max(per_class // 4, 4), image_size, 1,
+                noise)
+    write_split(root, "test", max(per_class // 4, 4), image_size, 2,
+                noise)
 
-    # per-class feature stats (the flat-prep stage writes these;
-    # still_image_dataset.py parity)
+    # per-class feature stats in the reference's JSON shape
+    # {class: {feature_name: value}} (still_image_dataset.py parity)
+    from surya_tpu.features import FEATURE_NAMES_47
+
     means = {}
     stds = {}
     for c in np.unique(labels):
         sel = feats[labels == c]
-        means[f"pose_{c}"] = sel.mean(axis=0).tolist()
-        stds[f"pose_{c}"] = (sel.std(axis=0) + 1e-8).tolist()
+        means[f"pose_{c}"] = dict(zip(FEATURE_NAMES_47,
+                                      sel.mean(axis=0).tolist()))
+        stds[f"pose_{c}"] = dict(zip(FEATURE_NAMES_47,
+                                     (sel.std(axis=0) + 1e-8).tolist()))
     with open(os.path.join(root, "class_feature_means.json"), "w") as f:
         json.dump(means, f)
     with open(os.path.join(root, "class_feature_stds.json"), "w") as f:
