@@ -176,6 +176,10 @@ class ResNet(nn.Module):
                             name="conv1")(x)
             x = norm(name="bn1")(x)
             x = nn.relu(x)
+            # nn.max_pool on purpose: XLA's SelectAndScatter backward
+            # (~7 ms/step at BS 256) beat every alternative tried —
+            # see BENCH_NOTES.md "Negative result: maxpool backward"
+            # and ops/maxpool.py (the exact-semantics reference).
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)))
             if "stem" in capture:
