@@ -15,7 +15,13 @@ first, ``fact_model.py:24-38`` vs ``:74-81`` — here it is built once.)
 
 TPU formulation: all T frames fold into the batch for the ViT; the fusion
 encoder attention is sequence-parallel capable via
-``surya_tpu.parallel.ring_attention`` when the ('seq',) mesh axis is >1.
+``surya_tpu.parallel.ring_attention`` when the ('seq',) mesh axis is >1;
+the homogeneous 4-layer encoder stack is pipeline-parallel capable via
+``fact_apply_pipelined`` (parallel/pipeline.py GPipe schedule). The
+model is split into ``embed`` / ``encoder_stack`` / ``head`` methods so
+the pipeline runner can drive the stack itself; the parameter tree is
+identical to the monolithic form (checkpoints and the torch importer
+are unaffected).
 """
 
 from __future__ import annotations
@@ -24,7 +30,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
-
+from jax.sharding import PartitionSpec as P
 
 
 class PostLNEncoderLayer(nn.Module):
@@ -84,52 +90,27 @@ class FactModel(nn.Module):
     # attention runs sequence-parallel via ring attention (same params).
     cp_mesh: Any = None
 
-    @nn.compact
-    def __call__(self, image_sequence, numerical_sequence,
-                 train: bool = False):
-        """image_sequence (B,T,H,W,3); numerical_sequence (B,T,47)."""
-        b, t = image_sequence.shape[:2]
-        d = self.embed_dim
-
-        # 1. Per-frame ViT CLS embeddings, frames folded into batch.
+    def setup(self):
         from surya_tpu.models.backbones.vit import ViT
 
-        frames = image_sequence.reshape((b * t,) + image_sequence.shape[2:])
-        vit = ViT(embed_dim=d, depth=self.vit_depth,
-                  num_heads=self.vit_heads, mlp_dim=4 * d,
-                  dtype=self.dtype, name="vit_backbone")
-        img_tok = vit(frames, train=train and not self.freeze_backbone)
-        img_tok = img_tok.reshape(b, t, d)
+        d = self.embed_dim
+        self.vit_backbone = ViT(embed_dim=d, depth=self.vit_depth,
+                                num_heads=self.vit_heads, mlp_dim=4 * d,
+                                dtype=self.dtype)
+        self.num_proj1 = nn.Dense(d // 2, dtype=self.dtype,
+                                  param_dtype=jnp.float32)
+        self.num_proj2 = nn.Dense(d, dtype=self.dtype,
+                                  param_dtype=jnp.float32)
+        self.token_type_embed = self.param(
+            "token_type_embed", nn.initializers.normal(stddev=0.02),
+            (2, d), jnp.float32)
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, d),
+            jnp.float32)
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(stddev=1.0),
+            (1, 2 * self.seq_len + 1, d), jnp.float32)
 
-        # 2. Numeric projector 47→d/2→ReLU→d (fact_model.py:42-46).
-        n = numerical_sequence.astype(self.dtype)
-        n = nn.Dense(d // 2, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="num_proj1")(n)
-        n = nn.relu(n)
-        num_tok = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
-                           name="num_proj2")(n)
-
-        # 3. Token-type embeddings (0=image, 1=numeric).
-        type_embed = self.param("token_type_embed",
-                                nn.initializers.normal(stddev=0.02),
-                                (2, d), jnp.float32).astype(self.dtype)
-        img_tok = img_tok + type_embed[0]
-        num_tok = num_tok + type_embed[1]
-
-        # 4. Interleave [img_1, num_1, img_2, num_2, ...] → (B, 2T, d).
-        fused = jnp.stack([img_tok, num_tok], axis=2).reshape(b, 2 * t, d)
-
-        # 5. CLS token + positional embeddings (length 2T+1).
-        cls = self.param("cls_token", nn.initializers.normal(stddev=1.0),
-                         (1, 1, d), jnp.float32)
-        full = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, d)).astype(self.dtype), fused],
-            axis=1)
-        pos = self.param("pos_embed", nn.initializers.normal(stddev=1.0),
-                         (1, 2 * t + 1, d), jnp.float32)
-        full = full + pos.astype(self.dtype)
-
-        # 6. Fusion transformer (optionally sequence-parallel).
         attention_fn = None
         if self.cp_mesh is not None and self.cp_mesh.shape.get(
                 "seq", 1) > 1:
@@ -137,17 +118,110 @@ class FactModel(nn.Module):
                 make_flax_attention_fn,
             )
             attention_fn = make_flax_attention_fn(self.cp_mesh)
+        # setattr keeps the flax scope names fusion0..fusionN-1 (a list
+        # attribute would rename them fusion_layers_0..; name= is not
+        # allowed on setup-assigned modules)
         for i in range(self.num_layers):
-            full = PostLNEncoderLayer(num_heads=self.num_heads,
-                                      ff_dim=4 * d, dropout=self.dropout,
-                                      dtype=self.dtype,
-                                      attention_fn=attention_fn,
-                                      name=f"fusion{i}")(full, train=train)
+            setattr(self, f"fusion{i}", PostLNEncoderLayer(
+                num_heads=self.num_heads, ff_dim=4 * d,
+                dropout=self.dropout, dtype=self.dtype,
+                attention_fn=attention_fn))
 
-        # 7. LN + Linear head on the CLS output.
-        cls_out = full[:, 0]
-        cls_out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                               name="head_ln")(cls_out)
-        return nn.Dense(self.num_classes, dtype=jnp.float32,
-                        param_dtype=jnp.float32,
-                        name="head_fc")(cls_out)
+        self.head_ln = nn.LayerNorm(dtype=self.dtype,
+                                    param_dtype=jnp.float32)
+        self.head_fc = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                param_dtype=jnp.float32)
+
+    def embed(self, image_sequence, numerical_sequence,
+              train: bool = False):
+        """Steps 1-5: per-frame ViT CLS + numeric projector + type
+        embeddings + interleave + CLS/positional — (B, 2T+1, d)."""
+        b, t = image_sequence.shape[:2]
+        d = self.embed_dim
+
+        frames = image_sequence.reshape(
+            (b * t,) + image_sequence.shape[2:])
+        img_tok = self.vit_backbone(
+            frames, train=train and not self.freeze_backbone)
+        img_tok = img_tok.reshape(b, t, d)
+
+        # Numeric projector 47→d/2→ReLU→d (fact_model.py:42-46).
+        n = numerical_sequence.astype(self.dtype)
+        num_tok = self.num_proj2(nn.relu(self.num_proj1(n)))
+
+        type_embed = self.token_type_embed.astype(self.dtype)
+        img_tok = img_tok + type_embed[0]
+        num_tok = num_tok + type_embed[1]
+
+        # Interleave [img_1, num_1, img_2, num_2, ...] → (B, 2T, d).
+        fused = jnp.stack([img_tok, num_tok], axis=2).reshape(
+            b, 2 * t, d)
+
+        full = jnp.concatenate(
+            [jnp.broadcast_to(self.cls_token, (b, 1, d)).astype(
+                self.dtype), fused], axis=1)
+        return full + self.pos_embed.astype(self.dtype)
+
+    def encoder_stack(self, full, train: bool = False):
+        """Step 6: the homogeneous 4-layer post-LN encoder."""
+        for i in range(self.num_layers):
+            full = getattr(self, f"fusion{i}")(full, train=train)
+        return full
+
+    def head(self, full):
+        """Step 7: LN + Linear on the CLS output."""
+        return self.head_fc(self.head_ln(full[:, 0]))
+
+    def __call__(self, image_sequence, numerical_sequence,
+                 train: bool = False):
+        """image_sequence (B,T,H,W,3); numerical_sequence (B,T,47)."""
+        full = self.embed(image_sequence, numerical_sequence, train=train)
+        full = self.encoder_stack(full, train=train)
+        return self.head(full)
+
+
+def fact_apply_pipelined(model: FactModel, variables, image_sequence,
+                         numerical_sequence, mesh, *,
+                         pipe_axis: str = "pipe",
+                         num_microbatches: int | None = None,
+                         batch_spec: P = P(),
+                         train: bool = False, rngs=None):
+    """FACT forward with the encoder stack pipeline-parallel.
+
+    ``embed`` and ``head`` run as ordinary (replicated / data-parallel)
+    applies; the 4 identical ``fusionN`` layers run through
+    ``parallel.pipeline.pipeline_apply`` — per-layer params stacked and
+    sharded over ``pipe_axis``, microbatched activations hopping stages
+    on ``lax.ppermute``. Logits match ``model.apply`` exactly in
+    deterministic mode (same layers, same order, same dtypes); in train
+    mode dropout masks are an independent draw (documented in
+    pipeline_apply). CP (ring attention) composes with DP/TP, not with
+    PP — the pipelined path uses plain attention.
+    """
+    from surya_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    emb = model.apply(variables, image_sequence, numerical_sequence,
+                      train=train, method="embed", rngs=rngs)
+    names = [f"fusion{i}" for i in range(model.num_layers)]
+    stacked = stack_layer_params(variables["params"], names)
+    layer = PostLNEncoderLayer(num_heads=model.num_heads,
+                               ff_dim=4 * model.embed_dim,
+                               dropout=model.dropout, dtype=model.dtype)
+
+    rng = (rngs or {}).get("dropout") if train else None
+    if rng is not None:
+        def layer_fn(p, x, key):
+            return layer.apply({"params": p}, x, train=True,
+                               rngs={"dropout": key})
+    else:
+        def layer_fn(p, x):
+            return layer.apply({"params": p}, x, train=False)
+
+    full = pipeline_apply(layer_fn, stacked, emb, mesh,
+                          pipe_axis=pipe_axis,
+                          num_microbatches=num_microbatches,
+                          batch_spec=batch_spec, rng=rng)
+    return model.apply(variables, full, method="head")
