@@ -46,6 +46,12 @@ class PostLNEncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16
     attention_fn: Any = None
+    # >0 replaces the dense FFN with a Mixture-of-Experts FFN
+    # (parallel/moe.py) — the beyond-reference EP variant; 0 keeps the
+    # reference-parity dense path (param tree unchanged).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,12 +66,20 @@ class PostLNEncoderLayer(nn.Module):
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="ln1")(x + y)
-        y = nn.Dense(self.ff_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="ff1")(x)
-        y = nn.relu(y)
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(x.shape[-1], dtype=self.dtype,
-                     param_dtype=jnp.float32, name="ff2")(y)
+        if self.moe_experts:
+            from surya_tpu.parallel.moe import MoEFFN
+
+            y = MoEFFN(num_experts=self.moe_experts,
+                       ff_dim=self.ff_dim, top_k=self.moe_top_k,
+                       dropout=self.dropout, dtype=self.dtype,
+                       mesh=self.moe_mesh, name="moe")(x, train=train)
+        else:
+            y = nn.Dense(self.ff_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="ff1")(x)
+            y = nn.relu(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = nn.Dense(x.shape[-1], dtype=self.dtype,
+                         param_dtype=jnp.float32, name="ff2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                             name="ln2")(x + y)
@@ -89,6 +103,11 @@ class FactModel(nn.Module):
     # Optional jax.sharding.Mesh with a >1 'seq' axis: the fusion
     # attention runs sequence-parallel via ring attention (same params).
     cp_mesh: Any = None
+    # >0: MoE FFN in every fusion layer (EP-shardable over an 'expert'
+    # mesh axis via moe_mesh) — beyond-reference extension.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_mesh: Any = None
 
     def setup(self):
         from surya_tpu.models.backbones.vit import ViT
@@ -125,7 +144,9 @@ class FactModel(nn.Module):
             setattr(self, f"fusion{i}", PostLNEncoderLayer(
                 num_heads=self.num_heads, ff_dim=4 * d,
                 dropout=self.dropout, dtype=self.dtype,
-                attention_fn=attention_fn))
+                attention_fn=attention_fn,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k, moe_mesh=self.moe_mesh))
 
         self.head_ln = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=jnp.float32)

@@ -128,8 +128,13 @@ def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
         variables = {"params": params, "batch_stats": batch_stats}
         logits, updated = model.apply(
             variables, images, feats, train=True,
-            rngs={"dropout": rng}, mutable=["batch_stats"])
-        return logits, updated.get("batch_stats", batch_stats)
+            rngs={"dropout": rng}, mutable=["batch_stats", "losses"])
+        # modules may sow pre-scaled auxiliary objectives into the
+        # 'losses' collection (e.g. the MoE load-balancing loss,
+        # parallel/moe.py); empty for every reference-parity model
+        aux = sum(jnp.sum(v) for v in jax.tree.leaves(
+            updated.get("losses", {})))
+        return logits, updated.get("batch_stats", batch_stats), aux
 
     if cfg.train.remat:
         # rematerialize the forward in the backward pass: trades FLOPs
@@ -140,9 +145,9 @@ def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
         images, feats, labels = batch
 
         def loss_fn(params):
-            logits, new_stats = apply(params, state.batch_stats, images,
-                                      feats, rng)
-            loss = cross_entropy(logits, labels, smoothing)
+            logits, new_stats, aux = apply(params, state.batch_stats,
+                                           images, feats, rng)
+            loss = cross_entropy(logits, labels, smoothing) + aux
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
