@@ -41,6 +41,11 @@ class ModelConfig:
     fusion_layers: int = 4
     fusion_heads: int = 8
     fusion_dim: int = 768
+    # FACT MoE variant (parallel/moe.py): >0 replaces every fusion
+    # layer's dense FFN with a top-k mixture of this many experts
+    # (EP-shardable; beyond-reference extension). 0 = reference parity.
+    moe_experts: int = 0
+    moe_top_k: int = 2
     # compute dtype policy: params stay float32; activations/matmuls in this dtype
     compute_dtype: str = "bfloat16"
     # Use Pallas kernels (fused quadrant + fusion head) on the quadtree

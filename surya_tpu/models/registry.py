@@ -131,4 +131,6 @@ def _fact(cfg: ModelConfig):
     return FactModel(num_classes=cfg.num_classes, seq_len=cfg.seq_len,
                      num_layers=cfg.fusion_layers, num_heads=cfg.fusion_heads,
                      embed_dim=cfg.fusion_dim, dtype=_dtype(cfg),
-                     freeze_backbone=cfg.freeze_backbone)
+                     freeze_backbone=cfg.freeze_backbone,
+                     moe_experts=cfg.moe_experts,
+                     moe_top_k=cfg.moe_top_k)
