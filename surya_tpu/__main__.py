@@ -6,6 +6,7 @@ overrides).
   python -m surya_tpu train --preset quadtree-fusion \
       [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
   python -m surya_tpu bench
+  python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
 """
 
 from __future__ import annotations
@@ -146,6 +147,35 @@ def cmd_eval(argv: list[str]) -> int:
     return 0
 
 
+def cmd_export(argv: list[str]) -> int:
+    """AOT-export a checkpoint as a self-contained StableHLO serving
+    artifact (surya_tpu/infer/serve.py)."""
+    import argparse
+
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.infer.serve import export_model
+
+    ap = argparse.ArgumentParser(prog="surya_tpu export")
+    ap.add_argument("checkpoint")
+    ap.add_argument("out", help="output artifact path (.stablehlo)")
+    ap.add_argument("--preset", default="quadtree-fusion")
+    ap.add_argument("--batch-size", type=int, default=32)
+    args, rest = ap.parse_known_args(argv)
+    cfg = get_preset(args.preset)
+    if rest:
+        cfg = cfg.override(parse_cli_overrides(rest))
+    variables = load_checkpoint_variables(args.checkpoint)
+    export_model(cfg.model, variables, args.out,
+                 batch_size=args.batch_size,
+                 image_size=cfg.data.image_size)
+    print(json.dumps({"artifact": os.path.abspath(args.out),
+                      "bytes": os.path.getsize(args.out),
+                      "batch_size": args.batch_size,
+                      "model": cfg.model.name}))
+    return 0
+
+
 def cmd_check() -> int:
     """Environment check (parity with the reference's standalone smoke
     scripts: Zero123/check_zero123plus.py, check_model.py,
@@ -199,6 +229,8 @@ def main() -> int:
         return cmd_eval(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
+    if cmd == "export":
+        return cmd_export(argv)
     if cmd == "check":
         return cmd_check()
     if cmd == "bench":

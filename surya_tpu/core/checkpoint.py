@@ -15,6 +15,24 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _abstract_template(meta) -> Any:
+    """ShapeDtypeStruct tree (current-default-device sharding) from
+    orbax checkpoint metadata, or None if the metadata shape is not the
+    expected TreeMetadata (older orbax) — caller falls back to the
+    saved-sharding restore."""
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+    if tree is None:
+        return None
+    here = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    try:
+        return jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=here), tree,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"))
+    except Exception:
+        return None
+
+
 class CheckpointManager:
     """Thin orbax wrapper with 'best' + 'latest' retention."""
 
@@ -36,6 +54,11 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if template is None:
+            # Restore onto the CURRENT default device, not the devices
+            # recorded at save time (cross-platform portability — see
+            # load_params).
+            template = _abstract_template(self._mgr.item_metadata(step))
         if template is not None:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
@@ -59,10 +82,22 @@ def save_params(path: str, params) -> None:
 
 
 def load_params(path: str, template=None):
+    """Restore a ``save_params`` tree.
+
+    Without a template, orbax restores onto the devices recorded at save
+    time — which fails across platforms (a CPU-saved checkpoint errors
+    under the TPU backend with "Device TFRT_CPU_0 was not found"). We
+    instead build an abstract ShapeDtypeStruct template from the
+    checkpoint's own metadata so arrays land on the CURRENT default
+    device regardless of where they were saved.
+    """
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if template is not None:
-        return ckptr.restore(os.path.abspath(path), template)
-    return ckptr.restore(os.path.abspath(path))
+    if template is None:
+        template = _abstract_template(ckptr.metadata(path))
+    if template is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, template)
 
 
 def load_checkpoint_variables(path: str) -> dict:

@@ -1,0 +1,141 @@
+"""Production serving: AOT-compiled fixed-batch predictor + portable export.
+
+The reference's only deployment story is re-running its evaluation
+scripts eagerly at batch 1 (``experiment/evaluate_model_cnn.py:37-101``,
+``experiment/test_on_video_cnn.py:253-254``). This module is the
+TPU-native serving tier on top of the same models:
+
+- ``Predictor`` ahead-of-time compiles ONE fixed-shape forward
+  (``jax.jit(...).lower(...).compile()``) at construction, so the first
+  request never pays the 20-40 s XLA compile; arbitrary request sizes
+  are chunked and tail-padded to the compiled batch (pad rows sliced
+  off before returning). XLA's cost analysis (flops/bytes accessed) is
+  exposed for capacity planning.
+- ``export_model`` / ``load_exported`` serialize the traced program —
+  parameters baked in as constants — as a StableHLO artifact via
+  ``jax.export``. The artifact is self-contained: a serving process
+  needs compatible jax to ``.call`` it, not the surya_tpu source tree.
+
+Both paths reproduce the reference's ablation-mode input handling
+(dummy zero images / features per ``test_on_video_cnn.py:264-271``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu.core.config import ModelConfig
+from surya_tpu.models import get_model
+
+TEMPORAL_MODELS = frozenset({"cnn_lstm", "ji_3dcnn", "quadtree_3d",
+                             "resnet3d_video", "hybrid_quadtree_3d",
+                             "fact"})
+
+
+def _input_specs(cfg: ModelConfig, batch_size: int, image_size: int):
+    if cfg.name in TEMPORAL_MODELS:
+        img = jax.ShapeDtypeStruct(
+            (batch_size, cfg.seq_len, image_size, image_size, 3),
+            jnp.float32)
+        feat = jax.ShapeDtypeStruct(
+            (batch_size, cfg.seq_len, cfg.num_features), jnp.float32)
+    else:
+        img = jax.ShapeDtypeStruct(
+            (batch_size, image_size, image_size, 3), jnp.float32)
+        feat = jax.ShapeDtypeStruct(
+            (batch_size, cfg.num_features), jnp.float32)
+    return img, feat
+
+
+def _make_forward(cfg: ModelConfig, model):
+    """(variables, images, feats) → (preds int32 (B,), probs f32 (B,C))."""
+
+    def forward(variables, images, feats):
+        if cfg.mode == "numerical_only":   # ref :264-271 dummy inputs
+            images = jnp.zeros_like(images)
+        if cfg.mode == "image_only":
+            feats = jnp.zeros_like(feats)
+        logits = model.apply(variables, images, feats, train=False)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+    return forward
+
+
+class Predictor:
+    """Fixed-batch AOT-compiled classifier for serving.
+
+    ``predict`` accepts any number of samples: requests are processed in
+    ``batch_size`` chunks, the tail chunk padded by repeating its last
+    row (padding never reaches the caller — outputs are sliced back to
+    the request size). Compilation happens once, in ``__init__``.
+    """
+
+    def __init__(self, cfg: ModelConfig, variables, batch_size: int = 32,
+                 image_size: int = 224):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self._variables = jax.device_put(variables)
+        model = get_model(cfg)
+        fn = jax.jit(_make_forward(cfg, model))
+        img, feat = _input_specs(cfg, batch_size, image_size)
+        var_spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            self._variables)
+        self._compiled = fn.lower(var_spec, img, feat).compile()
+
+    def cost_analysis(self) -> dict:
+        """XLA cost analysis of the compiled program (flops, bytes)."""
+        cost = self._compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # per-device list on older jax
+            cost = cost[0] if cost else {}
+        return dict(cost) if cost else {}
+
+    def predict(self, images: np.ndarray, feats: np.ndarray):
+        """→ (preds int (N,), probs f32 (N, num_classes)) for N samples."""
+        n = images.shape[0]
+        if n == 0:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, self.cfg.num_classes), np.float32))
+        preds, probs = [], []
+        for lo in range(0, n, self.batch_size):
+            img = np.asarray(images[lo:lo + self.batch_size], np.float32)
+            ft = np.asarray(feats[lo:lo + self.batch_size], np.float32)
+            pad = self.batch_size - img.shape[0]
+            if pad:
+                img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+                ft = np.concatenate([ft, np.repeat(ft[-1:], pad, 0)])
+            p, pr = self._compiled(self._variables, jnp.asarray(img),
+                                   jnp.asarray(ft))
+            take = min(self.batch_size, n - lo)
+            preds.append(np.asarray(p)[:take])
+            probs.append(np.asarray(pr)[:take])
+        return np.concatenate(preds), np.concatenate(probs)
+
+
+def export_model(cfg: ModelConfig, variables, path: str,
+                 batch_size: int = 32, image_size: int = 224) -> None:
+    """Serialize the forward pass (params baked in) as a StableHLO
+    artifact at ``path``. Loadable with ``load_exported``."""
+    model = get_model(cfg)
+    forward = _make_forward(cfg, model)
+    variables = jax.device_put(variables)
+
+    def serving_fn(images, feats):
+        return forward(variables, images, feats)
+
+    img, feat = _input_specs(cfg, batch_size, image_size)
+    exported = jax.export.export(jax.jit(serving_fn))(img, feat)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Deserialize an ``export_model`` artifact. Returned object's
+    ``.call(images, feats)`` runs the forward on the default backend."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read())

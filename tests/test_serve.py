@@ -1,0 +1,64 @@
+"""Serving tier: AOT predictor padding/chunking + StableHLO export
+roundtrip (surya_tpu/infer/serve.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from surya_tpu.core.config import ModelConfig
+from surya_tpu.infer.serve import (
+    Predictor,
+    export_model,
+    load_exported,
+)
+from surya_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def quadtree_setup():
+    cfg = ModelConfig(name="quadtree", num_classes=5,
+                      compute_dtype="float32")
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(3, 224, 224, 3)).astype(np.float32)
+    feats = rng.normal(size=(3, 47)).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.asarray(images), jnp.asarray(feats),
+                           train=False)
+    logits = model.apply(variables, jnp.asarray(images),
+                         jnp.asarray(feats), train=False)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return cfg, variables, images, feats, np.asarray(probs)
+
+
+def test_predictor_pads_partial_batch(quadtree_setup):
+    cfg, variables, images, feats, want_probs = quadtree_setup
+    pred = Predictor(cfg, variables, batch_size=4)  # 3 samples → 1 padded chunk
+    preds, probs = pred.predict(images, feats)
+    assert preds.shape == (3,) and probs.shape == (3, 5)
+    np.testing.assert_allclose(probs, want_probs, atol=1e-5)
+    np.testing.assert_array_equal(preds, want_probs.argmax(-1))
+
+
+def test_predictor_chunks_large_requests(quadtree_setup):
+    cfg, variables, images, feats, want_probs = quadtree_setup
+    pred = Predictor(cfg, variables, batch_size=2)  # 3 samples → 2 chunks
+    preds, probs = pred.predict(images, feats)
+    np.testing.assert_allclose(probs, want_probs, atol=1e-5)
+    cost = pred.cost_analysis()
+    assert isinstance(cost, dict)
+    empty_p, empty_probs = pred.predict(images[:0], feats[:0])
+    assert empty_p.shape == (0,) and empty_probs.shape == (0, 5)
+
+
+def test_export_roundtrip(quadtree_setup, tmp_path):
+    cfg, variables, images, feats, want_probs = quadtree_setup
+    path = str(tmp_path / "quadtree.stablehlo")
+    export_model(cfg, variables, path, batch_size=3)
+    loaded = load_exported(path)
+    preds, probs = loaded.call(jnp.asarray(images), jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(probs), want_probs, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  want_probs.argmax(-1))
