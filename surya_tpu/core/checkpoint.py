@@ -54,15 +54,20 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        if template is None:
-            # Restore onto the CURRENT default device, not the devices
-            # recorded at save time (cross-platform portability — see
-            # load_params).
-            template = _abstract_template(self._mgr.item_metadata(step))
         if template is not None:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        return self._mgr.restore(step)
+        # No template: restore to host numpy (via a current-default-
+        # device template), NOT to the devices recorded at save time —
+        # those may not exist on this platform (cross-platform restore),
+        # and committed device arrays would conflict with mesh-sharded
+        # inputs downstream. Numpy leaves are uncommitted: jit places
+        # them per the consuming computation's sharding.
+        abstract = _abstract_template(self._mgr.item_metadata(step))
+        if abstract is None:
+            return self._mgr.restore(step)
+        return host_copy(self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)))
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -88,16 +93,18 @@ def load_params(path: str, template=None):
     time — which fails across platforms (a CPU-saved checkpoint errors
     under the TPU backend with "Device TFRT_CPU_0 was not found"). We
     instead build an abstract ShapeDtypeStruct template from the
-    checkpoint's own metadata so arrays land on the CURRENT default
-    device regardless of where they were saved.
+    checkpoint's own metadata and return HOST NUMPY leaves — portable
+    across platforms and uncommitted, so downstream jit computations
+    are free to place them under any device/mesh sharding.
     """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if template is None:
-        template = _abstract_template(ckptr.metadata(path))
-    if template is None:
+    if template is not None:
+        return ckptr.restore(path, template)
+    abstract = _abstract_template(ckptr.metadata(path))
+    if abstract is None:
         return ckptr.restore(path)
-    return ckptr.restore(path, template)
+    return host_copy(ckptr.restore(path, abstract))
 
 
 def load_checkpoint_variables(path: str) -> dict:

@@ -123,7 +123,10 @@ def export_model(cfg: ModelConfig, variables, path: str,
     artifact at ``path``. Loadable with ``load_exported``."""
     model = get_model(cfg)
     forward = _make_forward(cfg, model)
-    variables = jax.device_put(variables)
+    # Keep params on host: they are traced into the artifact as
+    # constants, so staging them on the accelerator first would only
+    # add two full-size device round-trips (costly through the tunnel).
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
 
     def serving_fn(images, feats):
         return forward(variables, images, feats)

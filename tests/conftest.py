@@ -22,6 +22,19 @@ assert len(jax.devices()) == 8, jax.devices()
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated XLA CPU client state across the ~200-test
+    suite: full single-process runs were SIGABRTing at ~test 188 (in
+    whichever test landed there — a resource-accumulation signature,
+    not a test bug) inside device_get. Dropping compiled-executable
+    caches after each module keeps the live-program count at one
+    module's worth; within-module cache reuse (where recompiles would
+    actually cost time) is untouched."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from surya_tpu.core.mesh import MeshSpec, create_mesh
