@@ -114,6 +114,8 @@ class TrainConfig:
     log_every: int = 50
     deterministic: bool = True
     remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
+    zero1: bool = False  # ZeRO-1: shard Adam moments over the data axis
+    #                      (parallel/zero.py; needs a multi-device mesh)
 
 
 @dataclass

@@ -210,7 +210,12 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                             "step_count": step_count})
             mgr.close()
         state = replicate(mesh, state)
-        train_step = make_train_step(model, tx, cfg)
+        state_shardings = None
+        if cfg.train.zero1:
+            from surya_tpu.parallel.zero import apply_zero1
+            state, state_shardings = apply_zero1(state, mesh)
+        train_step = make_train_step(model, tx, cfg, mesh=mesh,
+                                     state_shardings=state_shardings)
         eval_step = make_eval_step(model, cfg.model.num_classes,
                                    cfg.train.label_smoothing)
 

@@ -118,8 +118,17 @@ def create_train_state(model: nn.Module, cfg: Config, rng,
     return state, tx
 
 
-def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
-    """Build the jitted train step: (state, batch, rng) → (state, metrics)."""
+def make_train_step(model: nn.Module, tx, cfg: Config, mesh=None,
+                    state_shardings=None) -> Callable:
+    """Build the jitted train step: (state, batch, rng) → (state, metrics).
+
+    ``state_shardings`` (a TrainState-shaped NamedSharding pytree, see
+    ``parallel/zero.py``) pins the output state's placement — used for
+    ZeRO-1 optimizer-state sharding, where GSPMD turns the annotation
+    into reduce-scatter(grads) → local moment update → all-gather
+    (updates). Requires ``mesh`` for the (replicated) metrics outputs.
+    The caller must place the input state identically (``apply_zero1``)
+    so buffer donation still applies."""
 
     smoothing = cfg.train.label_smoothing
     nan_guard = cfg.train.nan_guard
@@ -173,7 +182,13 @@ def make_train_step(model: nn.Module, tx, cfg: Config) -> Callable:
                        jnp.float32))}
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    if state_shardings is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    metric_shardings = {"loss": rep, "accuracy": rep}
+    return jax.jit(step, donate_argnums=(0,),
+                   out_shardings=(state_shardings, metric_shardings))
 
 
 def make_eval_step(model: nn.Module, num_classes: int,
