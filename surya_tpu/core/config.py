@@ -116,6 +116,8 @@ class TrainConfig:
     remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
     zero1: bool = False  # ZeRO-1: shard Adam moments over the data axis
     #                      (parallel/zero.py; needs a multi-device mesh)
+    fsdp: bool = False  # FSDP/ZeRO-3: shard params+stats+moments over
+    #                     'data' (parallel/zero.py); supersedes zero1
 
 
 @dataclass

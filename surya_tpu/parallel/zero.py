@@ -69,3 +69,26 @@ def apply_zero1(state, mesh: Mesh):
     so the step's outputs stay sharded (donation-compatible)."""
     shardings = zero1_state_shardings(state, mesh)
     return jax.device_put(state, shardings), shardings
+
+
+def fsdp_state_shardings(state, mesh: Mesh):
+    """FSDP (ZeRO-3-style) shardings: params, batch_stats AND optimizer
+    state all split over 'data' on their first divisible axis.
+
+    With GSPMD this is, again, pure annotation: each layer's weights
+    all-gather just-in-time for its matmul in forward/backward and the
+    full tensor is discarded afterwards, gradients reduce-scatter, and
+    the optimizer update runs on the local 1/N shard. Per-chip steady
+    state: (params + moments + stats) / N — the JAX-native equivalent
+    of torch FSDP without any wrapper modules."""
+    return state.replace(
+        step=NamedSharding(mesh, P()),
+        params=zero1_shardings(state.params, mesh),
+        batch_stats=zero1_shardings(state.batch_stats, mesh),
+        opt_state=zero1_shardings(state.opt_state, mesh))
+
+
+def apply_fsdp(state, mesh: Mesh):
+    """Re-place a TrainState fully sharded (see fsdp_state_shardings)."""
+    shardings = fsdp_state_shardings(state, mesh)
+    return jax.device_put(state, shardings), shardings

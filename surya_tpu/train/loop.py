@@ -211,7 +211,10 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
             mgr.close()
         state = replicate(mesh, state)
         state_shardings = None
-        if cfg.train.zero1:
+        if cfg.train.fsdp:
+            from surya_tpu.parallel.zero import apply_fsdp
+            state, state_shardings = apply_fsdp(state, mesh)
+        elif cfg.train.zero1:
             from surya_tpu.parallel.zero import apply_zero1
             state, state_shardings = apply_zero1(state, mesh)
         train_step = make_train_step(model, tx, cfg, mesh=mesh,
