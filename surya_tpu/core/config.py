@@ -118,6 +118,8 @@ class TrainConfig:
     #                      (parallel/zero.py; needs a multi-device mesh)
     fsdp: bool = False  # FSDP/ZeRO-3: shard params+stats+moments over
     #                     'data' (parallel/zero.py); supersedes zero1
+    grad_accum: int = 1  # microbatches per optimizer step (lax.scan);
+    #                      batch_size must be divisible by it
 
 
 @dataclass

@@ -150,17 +150,65 @@ def make_train_step(model: nn.Module, tx, cfg: Config, mesh=None,
         # for HBM (activation memory), enabling larger batches
         apply = jax.checkpoint(apply)
 
+    accum = max(getattr(cfg.train, "grad_accum", 1), 1)
+
     def step(state: TrainState, batch, rng):
         images, feats, labels = batch
+        if labels.shape[0] % accum:
+            raise ValueError(
+                f"batch size {labels.shape[0]} not divisible by "
+                f"grad_accum={accum}")
 
-        def loss_fn(params):
-            logits, new_stats, aux = apply(params, state.batch_stats,
-                                           images, feats, rng)
-            loss = cross_entropy(logits, labels, smoothing) + aux
-            return loss, (logits, new_stats)
+        if accum == 1:
+            def loss_fn(params):
+                logits, new_stats, aux = apply(params, state.batch_stats,
+                                               images, feats, rng)
+                loss = cross_entropy(logits, labels, smoothing) + aux
+                return loss, (logits, new_stats)
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            accuracy = jnp.mean((jnp.argmax(logits, axis=-1)
+                                 == labels).astype(jnp.float32))
+        else:
+            # Gradient accumulation: lax.scan over `accum` microbatches
+            # — one microbatch of activations lives at a time (the
+            # memory lever orthogonal to remat), grads averaged, ONE
+            # optimizer update. BN stats update sequentially per
+            # microbatch (torch-sequential semantics); each microbatch
+            # gets its own dropout fold.
+            def micro_loss(params, stats, im, ft, lb, key):
+                logits, new_stats, aux = apply(params, stats, im, ft,
+                                               key)
+                loss = cross_entropy(logits, lb, smoothing) + aux
+                return loss, (logits, new_stats)
+
+            grad_fn = jax.value_and_grad(micro_loss, has_aux=True,
+                                         argnums=0)
+
+            def body(carry, xs):
+                stats, gacc, lacc, cacc = carry
+                im, ft, lb, key = xs
+                (loss, (logits, new_stats)), g = grad_fn(
+                    state.params, stats, im, ft, lb, key)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                correct = jnp.sum((jnp.argmax(logits, axis=-1)
+                                   == lb).astype(jnp.float32))
+                return (new_stats, gacc, lacc + loss, cacc + correct), None
+
+            def mb(x):
+                return x.reshape((accum, x.shape[0] // accum)
+                                 + x.shape[1:])
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum, csum), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(())),
+                (mb(images), mb(feats), mb(labels),
+                 jax.random.split(rng, accum)))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+            accuracy = csum / labels.shape[0]
+
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -176,10 +224,7 @@ def make_train_step(model: nn.Module, tx, cfg: Config, mesh=None,
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state)
-        preds = jnp.argmax(logits, axis=-1)
-        metrics = {"loss": loss,
-                   "accuracy": jnp.mean((preds == labels).astype(
-                       jnp.float32))}
+        metrics = {"loss": loss, "accuracy": accuracy}
         return new_state, metrics
 
     if state_shardings is None:
