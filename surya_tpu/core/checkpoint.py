@@ -72,6 +72,9 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        return list(self._mgr.all_steps())
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -120,6 +120,9 @@ class TrainConfig:
     #                     'data' (parallel/zero.py); supersedes zero1
     grad_accum: int = 1  # microbatches per optimizer step (lax.scan);
     #                      batch_size must be divisible by it
+    preempt_save: bool = True  # on SIGTERM (TPU-VM preemption notice):
+    #   finish the in-flight step, checkpoint the full state, stop
+    #   cleanly; `resume=true` continues from it (train/loop.py)
 
 
 @dataclass

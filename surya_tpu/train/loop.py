@@ -156,6 +156,15 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
     optimizer state (a capability the reference lacks, SURVEY §5.4).
     ``profile_dir`` wraps the first post-warmup epoch in
     ``jax.profiler.trace`` for TensorBoard (§5.1).
+
+    Preemption safety (``train.preempt_save``, TPU VMs are
+    preemptible — SURVEY §5.3): on SIGTERM the loop finishes the
+    in-flight step, checkpoints the full state at the current epoch,
+    and returns with ``summary["preempted"]=True``; a ``resume=True``
+    rerun continues from epoch+1 (a partially trained epoch counts as
+    done — its optimizer updates already happened) and the best-so-far
+    weights are re-read from the best epoch's own checkpoint, not the
+    preemption snapshot.
     """
     mesh = mesh or create_mesh()
     logger = logger or MetricsLogger()
@@ -206,6 +215,18 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                         saver.load_state_dict(ls["saver"])
                         plateau.load_state_dict(ls["plateau"])
                         step_count = int(ls["step_count"])
+                        if ls.get("preempt"):
+                            # the latest checkpoint is a preemption
+                            # snapshot, not the best: re-read the best
+                            # epoch's own checkpoint if still retained
+                            best_ep = int(ls["saver"]["best_epoch"])
+                            if best_ep == latest or best_ep < 0:
+                                best_state = None
+                            elif best_ep in mgr.all_steps():
+                                best_state = mgr.restore(
+                                    best_ep, template=best_state)
+                            else:
+                                best_state = None
                 logger.log({"event": "resume", "from_epoch": latest,
                             "step_count": step_count})
             mgr.close()
@@ -224,6 +245,37 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
 
         ckpt = (CheckpointManager(cfg.train.checkpoint_dir)
                 if checkpoints else None)
+
+        # Preemption notice (SIGTERM on TPU VMs): set a flag, checked
+        # at step boundaries — the in-flight compiled step finishes,
+        # then the state is checkpointed and the loop exits cleanly.
+        preempt = {"flag": False}
+        prev_handler = None
+        if ckpt is not None and cfg.train.preempt_save:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                preempt["flag"] = True
+
+            try:
+                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:  # not the main thread
+                prev_handler = None
+
+        def _preempt_checkpoint(epoch: int) -> None:
+            """Snapshot the full current state + loop trackers so a
+            resume=True rerun continues from epoch+1."""
+            if ckpt is not None:
+                ckpt.save(epoch, host_copy(state), force=True)
+                with open(loop_state_path, "w") as f:
+                    json.dump({"epoch": epoch, "step_count": step_count,
+                               "stopper": stopper.state_dict(),
+                               "saver": saver.state_dict(),
+                               "plateau": plateau.state_dict(),
+                               "preempt": True}, f)
+                ckpt.wait()
+            logger.log({"event": "preempt_save", "epoch": epoch,
+                        "step_count": step_count})
 
         history = []
         profiled = False
@@ -259,6 +311,17 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                              "loss": float(jax.device_get(m["loss"])),
                              "accuracy": float(jax.device_get(
                                  m["accuracy"]))})
+                    if preempt["flag"]:
+                        break
+                if preempt["flag"]:
+                    break
+            if preempt["flag"]:
+                # stop before validation: snapshot and exit
+                if profiled and profile_dir:
+                    jax.profiler.stop_trace()
+                    profile_dir = None
+                _preempt_checkpoint(epoch)
+                break
             train_loss = float(np.mean(jax.device_get(losses)))
             train_acc = float(np.mean(jax.device_get(accs)))
 
@@ -313,16 +376,32 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                                "stopper": stopper.state_dict(),
                                "saver": saver.state_dict(),
                                "plateau": plateau.state_dict()}, f)
+            if preempt["flag"]:
+                # signal arrived during validation/bookkeeping — the
+                # epoch completed; a best-save at this step (if any)
+                # already persists the state + trackers
+                if not saved_this_epoch:
+                    _preempt_checkpoint(epoch)
+                else:
+                    logger.log({"event": "preempt_save",
+                                "epoch": epoch,
+                                "step_count": step_count})
+                break
             if stopper.should_stop:
                 logger.log({"event": "early_stop", "epoch": epoch,
                             "best_epoch": stopper.best_epoch})
                 break
 
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         final_state = best_state if best_state is not None else state
         summary = {"history": history, "best_epoch": stopper.best_epoch,
                    "best_metric": float(stopper.best),
                    "checkpoint_best": float(saver.best),
                    "checkpoint_best_epoch": saver.best_epoch,
+                   "preempted": preempt["flag"],
                    "state": final_state}
 
         try:
