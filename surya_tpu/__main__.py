@@ -7,6 +7,8 @@ overrides).
       [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
   python -m surya_tpu bench
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
+  python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
+  python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
 """
 
 from __future__ import annotations
@@ -66,6 +68,9 @@ def cmd_train(argv: list[str]) -> int:
                          "state) and continue")
     ap.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace dir (TensorBoard)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="mirror metrics as TensorBoard scalars "
+                         "under OUT/tb (§5.5)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="enable jax.debug_nans (SURVEY §5.2); "
                          "disables the in-step NaN guard so the origin "
@@ -90,7 +95,10 @@ def cmd_train(argv: list[str]) -> int:
         f.write(cfg.to_json())
 
     data = _build_data(cfg)
-    logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    logger = MetricsLogger(
+        os.path.join(args.out, "metrics.jsonl"),
+        tensorboard_dir=(os.path.join(args.out, "tb")
+                         if args.tensorboard else None))
     summary = train_and_evaluate(cfg, data, logger=logger,
                                  resume=args.resume,
                                  profile_dir=args.profile_dir)
@@ -204,6 +212,58 @@ def cmd_check() -> int:
     return 0
 
 
+def cmd_cam(argv: list[str]) -> int:
+    """Batch Grad-CAM overlays for a trained checkpoint
+    (``resnet/grad_cam_analysis.py:237-441`` parity as a subcommand;
+    hierarchical targets level1/level2 are the beyond-reference
+    extension — interpret/gradcam.py)."""
+    import argparse
+
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.interpret.gradcam import save_batch_grad_cam
+
+    ap = argparse.ArgumentParser(prog="surya_tpu cam")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--preset", default="quadtree-fusion")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--out", default="runs/cams")
+    ap.add_argument("--target", default="layer4",
+                    help="layer3|layer4 (quadtree), "
+                         "layer2|level1|level2 (hierarchical families)")
+    ap.add_argument("--alpha", type=float, default=0.4)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="max batches (0 = all)")
+    ap.add_argument("--synthetic", action="store_true")
+    args, rest = ap.parse_known_args(argv)
+    cfg = get_preset(args.preset)
+    if args.synthetic:
+        cfg = cfg.override({"data.synthetic": "true"})
+    if rest:
+        cfg = cfg.override(parse_cli_overrides(rest))
+    data = _build_data(cfg)
+    variables = load_checkpoint_variables(args.checkpoint)
+    names = getattr(data, "class_names",
+                    [str(i) for i in range(cfg.model.num_classes)])
+
+    def batches():
+        for i, b in enumerate(data.eval_batches(args.split)):
+            if args.limit and i >= args.limit:
+                break
+            if hasattr(data, "device_transform"):
+                # classify the normalized images, overlay on the raw
+                mb = data.device_transform(args.split, None, b)
+                yield (mb[0], mb[1], b[2], b[0])
+            else:
+                yield b
+
+    n = save_batch_grad_cam(cfg.model, variables, batches(), names,
+                            args.out, target_layer=args.target,
+                            alpha=args.alpha)
+    print(f"wrote {n} CAM overlays to {args.out}")
+    return 0
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -229,6 +289,12 @@ def main() -> int:
         return cmd_eval(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
+    if cmd == "cam":
+        return cmd_cam(argv)
+    if cmd == "video":
+        from surya_tpu.infer.video import main as video_main
+
+        return video_main(argv)
     if cmd == "export":
         return cmd_export(argv)
     if cmd == "check":

@@ -62,30 +62,68 @@ def r2_score(labels: jnp.ndarray, preds: jnp.ndarray) -> jnp.ndarray:
 
 
 class MetricsLogger:
-    """Append-only JSONL metric stream (one dict per record)."""
+    """Append-only JSONL metric stream (one dict per record).
 
-    def __init__(self, path: str | None = None, echo: bool = True):
+    ``tensorboard_dir`` additionally mirrors scalar fields as
+    TensorBoard summaries (SURVEY §5.5 "JSONL + optional TensorBoard
+    scalars"): epoch records land under ``train/``, ``val/`` etc. with
+    the epoch as global step; mid-epoch ``step`` records under
+    ``step/``. tensorboardX is a gated import — absent, the option is
+    ignored with a warning.
+    """
+
+    def __init__(self, path: str | None = None, echo: bool = True,
+                 tensorboard_dir: str | None = None):
         self.path = path
         self.echo = echo
         self._fh: IO | None = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._fh = open(path, "a", buffering=1)
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_dir)
+            except ImportError:  # pragma: no cover
+                print("[metrics] tensorboardX not available; "
+                      "--tensorboard ignored", flush=True)
 
     def log(self, record: dict) -> None:
         record = {"ts": round(time.time(), 3), **_to_py(record)}
         line = json.dumps(record)
         if self._fh:
             self._fh.write(line + "\n")
+        if self._tb is not None:
+            self._log_tb(record)
         if self.echo:
             kv = " ".join(f"{k}={_fmt(v)}" for k, v in record.items()
                           if k != "ts")
             print(kv, flush=True)
 
+    def _log_tb(self, record: dict) -> None:
+        is_step = "step" in record and "epoch" in record
+        step = int(record.get("step", record.get("epoch", 0)))
+        for k, v in record.items():
+            if k in ("ts", "step", "epoch", "event") or not isinstance(
+                    v, (int, float)):
+                continue
+            if is_step:
+                tag = f"step/{k}"
+            elif "_" in k and k.split("_", 1)[0] in ("train", "val",
+                                                     "test"):
+                tag = k.replace("_", "/", 1)
+            else:
+                tag = k
+            self._tb.add_scalar(tag, float(v), step)
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 def _to_py(tree):

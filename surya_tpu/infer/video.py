@@ -165,13 +165,14 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
     return records
 
 
-if __name__ == "__main__":
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (also reachable as ``python -m surya_tpu video``)."""
     import argparse
     import json
 
     from surya_tpu.core.checkpoint import load_params
 
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(prog="surya_tpu video")
     ap.add_argument("params_path")
     ap.add_argument("video")
     ap.add_argument("--out", default=None)
@@ -181,7 +182,7 @@ if __name__ == "__main__":
                     help="JSON file with class names list")
     ap.add_argument("--display", action="store_true",
                     help="show annotated frames live (q to quit)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     with open(args.classes) as f:
         class_names = json.load(f)
     cfg = ModelConfig(name=args.model, mode=args.mode,
@@ -192,3 +193,8 @@ if __name__ == "__main__":
                                display=args.display)
     print(json.dumps(recs[:10], indent=2))
     print(f"{len(recs)} frames classified")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
