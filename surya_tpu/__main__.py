@@ -276,8 +276,12 @@ def cmd_list_presets() -> int:
 
 
 def main() -> int:
+    from surya_tpu.core.cache import enable_compilation_cache
     from surya_tpu.core.mesh import maybe_initialize_distributed
 
+    # persistent XLA cache: compiles cost 20-40 s through the remote
+    # helper; opt out with SURYA_NO_COMPILE_CACHE=1 (core/cache.py)
+    enable_compilation_cache()
     maybe_initialize_distributed()  # multi-host (DCN) when configured
     if len(sys.argv) < 2:
         print(__doc__)

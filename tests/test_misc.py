@@ -105,3 +105,24 @@ def test_video_inference_batch_larger_than_frames(tmp_path):
                                extractor=fake_extractor, batch_size=16,
                                image_size=32)
     assert len(recs) == 3  # batch > frame count handled
+
+
+def test_compilation_cache_toggle(tmp_path, monkeypatch):
+    """core/cache.py: enables the persistent XLA cache at the given
+    dir; SURYA_NO_COMPILE_CACHE opts out."""
+    import jax
+
+    from surya_tpu.core.cache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla")
+        assert enable_compilation_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        assert os.path.isdir(d)
+
+        monkeypatch.setenv("SURYA_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache(str(tmp_path / "nope")) is None
+        assert not os.path.exists(str(tmp_path / "nope"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
