@@ -20,6 +20,15 @@ import time
 import numpy as np
 
 
+def _timed(fn, *args) -> float:
+    import jax
+
+    t0 = time.perf_counter()
+    _, loss = fn(*args)
+    jax.device_get(loss)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     import jax
 
@@ -103,10 +112,10 @@ def main() -> None:
 
         state, loss = multi_step(state, sharded, key)  # compile + warmup
         jax.device_get(loss)
-        t0 = time.perf_counter()
-        state, loss = multi_step(state, sharded, key)
-        jax.device_get(loss)
-        dt = time.perf_counter() - t0
+        # best-of-3: tunnel latency varies run-to-run (±10%+); the
+        # minimum of fused-loop timings is the honest device number
+        dt = min(_timed(multi_step, state, sharded, key)
+                 for _ in range(3))
 
     images_per_sec = batch_size * steps / dt
 
