@@ -38,10 +38,10 @@ def main() -> None:
     from surya_tpu.models import get_model
     from surya_tpu.train.steps import create_train_state, make_train_step
 
+    from surya_tpu.models import TEMPORAL_MODELS
+
     model_name = os.environ.get("BENCH_MODEL", "quadtree")
-    temporal = model_name in ("cnn_lstm", "ji_3dcnn", "quadtree_3d",
-                              "resnet3d_video", "hybrid_quadtree_3d",
-                              "fact")
+    temporal = model_name in TEMPORAL_MODELS
     default_bs = "32" if temporal else "256"
     batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
     steps = int(os.environ.get("BENCH_STEPS", "20"))

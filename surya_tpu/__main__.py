@@ -21,9 +21,9 @@ import sys
 def _build_data(cfg):
     """Pick the data source: synthetic, sequence (temporal models), or
     disk (spatial models)."""
-    temporal = cfg.model.name in ("cnn_lstm", "ji_3dcnn", "quadtree_3d",
-                                  "resnet3d_video", "hybrid_quadtree_3d",
-                                  "fact")
+    from surya_tpu.models import TEMPORAL_MODELS
+
+    temporal = cfg.model.name in TEMPORAL_MODELS
     if cfg.data.synthetic:
         from surya_tpu.data import (
             ArrayDataSource,
@@ -99,9 +99,12 @@ def cmd_train(argv: list[str]) -> int:
         os.path.join(args.out, "metrics.jsonl"),
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.tensorboard else None))
-    summary = train_and_evaluate(cfg, data, logger=logger,
-                                 resume=args.resume,
-                                 profile_dir=args.profile_dir)
+    try:
+        summary = train_and_evaluate(cfg, data, logger=logger,
+                                     resume=args.resume,
+                                     profile_dir=args.profile_dir)
+    finally:
+        logger.close()  # flush JSONL + TensorBoard writers
 
     if args.plot:
         from surya_tpu.utils.plotting import (

@@ -91,10 +91,10 @@ class DiskDataSource:
         # point-samples; PIL BILINEAR anti-aliases on downscale — a
         # benign train-time filter difference.
         self.use_native = use_native
-        # multi-chip eval: pad tail batches (by repeating the last
-        # sample) to a multiple of the data-axis size; padded copies
-        # count toward metrics — use divisible eval sets for exact
-        # numbers (same caveat as ArrayDataSource).
+        # multi-chip eval: pad tail batches to a multiple of the
+        # data-axis size; pad rows carry sentinel label -1 and are
+        # masked out of loss/accuracy/confusion by make_eval_step, so
+        # metrics are exact for any split size.
         self.pad_eval_to = pad_eval_to
         self.index = {}
         for s in splits:

@@ -28,11 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from surya_tpu.core.config import ModelConfig
-from surya_tpu.models import get_model
-
-TEMPORAL_MODELS = frozenset({"cnn_lstm", "ji_3dcnn", "quadtree_3d",
-                             "resnet3d_video", "hybrid_quadtree_3d",
-                             "fact"})
+from surya_tpu.models import TEMPORAL_MODELS, get_model
 
 
 def _input_specs(cfg: ModelConfig, batch_size: int, image_size: int):

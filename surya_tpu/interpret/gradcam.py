@@ -357,6 +357,8 @@ def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
         cams, preds, _ = (np.asarray(x) for x in grad_cam(
             cfg, variables, images, feats, target_layer))
         for i in range(len(labels)):
+            if int(labels[i]) < 0:
+                continue  # sentinel pad row (multi-chip eval padding)
             true_name = class_names[int(labels[i])]
             pred_name = class_names[int(preds[i])]
             d = os.path.join(out_dir, true_name)

@@ -1,1 +1,5 @@
-from surya_tpu.models.registry import get_model, list_models  # noqa: F401
+from surya_tpu.models.registry import (  # noqa: F401
+    TEMPORAL_MODELS,
+    get_model,
+    list_models,
+)

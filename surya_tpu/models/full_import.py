@@ -199,8 +199,8 @@ def import_quadtree(sd: dict, mode: str = "fusion"):
     """QuadtreeCNN (``Quadtree_from scratch/models.py:214-305`` naming;
     the ablation variant ``experiment/models_cnn.py:6-116`` uses the
     same attribute names)."""
-    trunk_p, trunk_s = import_resnet(
-        rekey(sub(sd, "base_cnn."), {"": ""}), (2, 2, 2, 2))
+    trunk_p, trunk_s = import_resnet(sub(sd, "base_cnn."),
+                                     (2, 2, 2, 2))
     params = {"trunk": trunk_p}
     stats = {"trunk": trunk_s}
     qk = import_conv(sd, "quadrant_processor.0")

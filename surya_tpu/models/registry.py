@@ -17,6 +17,12 @@ from surya_tpu.core.config import ModelConfig
 
 _REGISTRY: dict[str, Callable] = {}
 
+# Families whose inputs are (B, T, H, W, 3)/(B, T, F) sequences — the
+# single source of truth for CLI/bench/serving input-shape dispatch.
+TEMPORAL_MODELS = frozenset({"cnn_lstm", "ji_3dcnn", "quadtree_3d",
+                             "resnet3d_video", "hybrid_quadtree_3d",
+                             "fact"})
+
 
 def register(name: str):
     def deco(fn):

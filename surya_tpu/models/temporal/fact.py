@@ -158,6 +158,11 @@ class FactModel(nn.Module):
         """Steps 1-5: per-frame ViT CLS + numeric projector + type
         embeddings + interleave + CLS/positional — (B, 2T+1, d)."""
         b, t = image_sequence.shape[:2]
+        if t != self.seq_len:
+            raise ValueError(
+                f"FactModel(seq_len={self.seq_len}) got a T={t} "
+                f"sequence — pos_embed is sized 2*seq_len+1; set "
+                f"model.seq_len to match data.seq_len")
         d = self.embed_dim
 
         frames = image_sequence.reshape(
@@ -224,6 +229,14 @@ def fact_apply_pipelined(model: FactModel, variables, image_sequence,
         stack_layer_params,
     )
 
+    if model.moe_experts:
+        raise NotImplementedError(
+            "fact_apply_pipelined does not support MoE layers "
+            "(PP x EP composition is out of scope): the pipelined "
+            "stage layer is the dense PostLNEncoderLayer and the "
+            "router aux-loss sow cannot cross the shard_map scan. "
+            "Use the regular model.apply with an 'expert' mesh axis "
+            "(parallel/moe.py) instead.")
     emb = model.apply(variables, image_sequence, numerical_sequence,
                       train=train, method="embed", rngs=rngs)
     names = [f"fusion{i}" for i in range(model.num_layers)]

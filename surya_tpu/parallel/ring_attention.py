@@ -84,7 +84,9 @@ def _ring_attention_local(q, k, v, bias, dropout_rng, axis_name: str,
             # consistent per-(row-block, col-block) mask on every device
             rng = jax.random.fold_in(jax.random.fold_in(
                 dropout_rng, idx), src)
-            shape = (1, h, tq, tk) if broadcast_dropout else \
+            # flax broadcast_dropout shares the mask over batch AND
+            # heads (dropout_shape (1, 1, q, kv) in linen attention)
+            shape = (1, 1, tq, tk) if broadcast_dropout else \
                 (b, h, tq, tk)
             keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, shape)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)

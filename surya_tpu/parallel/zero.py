@@ -9,7 +9,8 @@ data-parallel rank. The TPU-native formulation is pure annotation — no
 manual reduce-scatter/all-gather code:
 
 - each optimizer-state leaf is placed with a ``NamedSharding`` that
-  splits its largest divisible axis over ``'data'``;
+  splits its first axis divisible by the data-parallel size over
+  ``'data'`` (first match wins, pinned by test);
 - the train step is jitted with matching ``out_shardings`` (see
   ``train/steps.make_train_step``), and GSPMD derives the ZeRO dance:
   gradients reduce-scatter into the moment update (local to the

@@ -145,6 +145,41 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                        logger: MetricsLogger | None = None,
                        checkpoints: bool = True, resume: bool = False,
                        profile_dir: str | None = None) -> dict:
+    """Public wrapper: installs/restores the SIGTERM preemption handler
+    around :func:`_train_and_evaluate` so the process-global signal
+    disposition is restored even when training raises.
+    See the inner function for the full contract.
+    """
+    preempt = {"flag": False}
+    prev_handler = None
+    if checkpoints and cfg.train.preempt_save:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            preempt["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread
+            prev_handler = None
+    try:
+        return _train_and_evaluate(cfg, data, mesh=mesh, logger=logger,
+                                   checkpoints=checkpoints,
+                                   resume=resume,
+                                   profile_dir=profile_dir,
+                                   preempt=preempt)
+    finally:
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _train_and_evaluate(cfg: Config, data, *, mesh=None,
+                        logger: MetricsLogger | None = None,
+                        checkpoints: bool = True, resume: bool = False,
+                        profile_dir: str | None = None,
+                        preempt: dict | None = None) -> dict:
     """Train per config on a data source; returns summary + final state.
 
     ``data`` must provide: ``num_classes``, ``train_batches(epoch_seed)``,
@@ -246,21 +281,12 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
         ckpt = (CheckpointManager(cfg.train.checkpoint_dir)
                 if checkpoints else None)
 
-        # Preemption notice (SIGTERM on TPU VMs): set a flag, checked
-        # at step boundaries — the in-flight compiled step finishes,
-        # then the state is checkpointed and the loop exits cleanly.
-        preempt = {"flag": False}
-        prev_handler = None
-        if ckpt is not None and cfg.train.preempt_save:
-            import signal
-
-            def _on_sigterm(signum, frame):
-                preempt["flag"] = True
-
-            try:
-                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
-            except ValueError:  # not the main thread
-                prev_handler = None
+        # Preemption notice (SIGTERM on TPU VMs): the wrapper's handler
+        # sets preempt["flag"], checked at step boundaries — the
+        # in-flight compiled step finishes, then the state is
+        # checkpointed and the loop exits cleanly.
+        if preempt is None:
+            preempt = {"flag": False}
 
         def _preempt_checkpoint(epoch: int) -> None:
             """Snapshot the full current state + loop trackers so a
@@ -392,10 +418,6 @@ def train_and_evaluate(cfg: Config, data, *, mesh=None,
                             "best_epoch": stopper.best_epoch})
                 break
 
-        if prev_handler is not None:
-            import signal
-
-            signal.signal(signal.SIGTERM, prev_handler)
         final_state = best_state if best_state is not None else state
         summary = {"history": history, "best_epoch": stopper.best_epoch,
                    "best_metric": float(stopper.best),
