@@ -6,6 +6,7 @@ overrides).
   python -m surya_tpu train --preset quadtree-fusion \
       [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
   python -m surya_tpu bench
+  python -m surya_tpu pack --root DATA --out DIR [--staging 256]
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
@@ -43,9 +44,17 @@ def _build_data(cfg):
                   for i, s in enumerate(("train", "valid", "test"))}
         return ArrayDataSource(splits, cfg.data.batch_size)
     if temporal:
+        if cfg.data.packed_dir:
+            from surya_tpu.data.packed import PackedSequenceSource
+
+            return PackedSequenceSource(cfg.data, seed=cfg.train.seed)
         from surya_tpu.data.sequences import SequenceDataSource
 
         return SequenceDataSource(cfg.data, seed=cfg.train.seed)
+    if cfg.data.packed_dir:
+        from surya_tpu.data.packed import PackedDataSource
+
+        return PackedDataSource(cfg.data, seed=cfg.train.seed)
     from surya_tpu.data.dataset import DiskDataSource
 
     return DiskDataSource(cfg.data, seed=cfg.train.seed)
@@ -267,6 +276,40 @@ def cmd_cam(argv: list[str]) -> int:
     return 0
 
 
+def cmd_pack(argv: list[str]) -> int:
+    """Build the packed pre-decoded dataset cache (data/packed.py):
+    one offline decode pass, then decode-free training epochs via
+    ``--data.packed_dir``."""
+    import argparse
+
+    from surya_tpu.data.packed import pack_dataset
+
+    ap = argparse.ArgumentParser(prog="surya_tpu pack")
+    ap.add_argument("--root", default="data/flat_image_dataset_final")
+    ap.add_argument("--out", required=True, help="pack output dir")
+    ap.add_argument("--staging", type=int, default=256,
+                    help="decoded side length (DiskDataSource staging)")
+    ap.add_argument("--sequences", action="store_true",
+                    help="pack a windowed .npz sequence dataset "
+                         "(--root = seq_root) instead of the flat "
+                         "image layout")
+    ap.add_argument("--seq-len", type=int, default=4)
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args(argv)
+    if args.sequences:
+        from surya_tpu.data.packed import pack_sequences
+
+        meta = pack_sequences(args.root, args.out, seq_len=args.seq_len,
+                              overwrite=args.overwrite)
+    else:
+        meta = pack_dataset(args.root, args.out, staging=args.staging,
+                            overwrite=args.overwrite)
+    print(json.dumps({"out": os.path.abspath(args.out),
+                      "kind": meta["kind"],
+                      "splits": meta["splits"]}))
+    return 0
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -296,6 +339,8 @@ def main() -> int:
         return cmd_eval(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
+    if cmd == "pack":
+        return cmd_pack(argv)
     if cmd == "cam":
         return cmd_cam(argv)
     if cmd == "video":

@@ -55,6 +55,38 @@ def main(n_images: int = 256, staging: int = 256,
                                   / result["pil_images_per_sec"], 2)
     else:
         result["native_images_per_sec"] = None
+
+    # packed memmap cache (data/packed.py): pay the decode once, then
+    # every epoch is a fancy-indexed memmap read
+    root = f"{tmp}/flat"
+    import os
+    import shutil
+
+    os.makedirs(f"{root}/train/c0", exist_ok=True)
+    for i, p in enumerate(paths):
+        shutil.copy(p, f"{root}/train/c0/img{i:05d}.jpg")
+        np.save(f"{root}/train/c0/img{i:05d}.npy",
+                rng.normal(size=47).astype(np.float32))
+    from surya_tpu.core.config import DataConfig
+    from surya_tpu.data.packed import PackedDataSource, pack_dataset
+
+    t0 = time.perf_counter()
+    pack_dataset(root, f"{tmp}/pack", staging=staging,
+                 splits=("train",), verbose=False)
+    result["pack_build_s"] = round(time.perf_counter() - t0, 2)
+    src = PackedDataSource(
+        DataConfig(data_root=root, batch_size=64,
+                   packed_dir=f"{tmp}/pack"))
+    for b in src.train_batches(0):  # warm the page cache
+        pass
+    best = 0.0
+    for epoch in range(3):
+        t0 = time.perf_counter()
+        seen = sum(len(b[2]) for b in src.train_batches(epoch + 1))
+        best = max(best, seen / (time.perf_counter() - t0))
+    result["packed_images_per_sec"] = round(best, 1)
+    result["packed_speedup_vs_pil"] = round(
+        best / result["pil_images_per_sec"], 2)
     print(json.dumps(result))
     return result
 

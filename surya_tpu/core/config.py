@@ -71,6 +71,10 @@ class DataConfig:
     seq_stride: int = 2
     # host pipeline
     prefetch: int = 2
+    # packed pre-decoded cache (data/packed.py): when set, spatial
+    # training serves batches from decode-free uint8 memmaps in this
+    # directory (built on first use from data_root)
+    packed_dir: str = ""
     shuffle_buffer: int = 4096
     standardize_features: bool = False  # per-class (x-mean)/std, 3dcnn/dataloaders.py:119-139
     # augmentation (matches experiment/dataloader_cnn.py:31-46 semantics)

@@ -85,6 +85,29 @@ bool decode_one(const char* path, int out_size, unsigned char* out) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;  // gray/YCbCr → RGB
+  // DCT-scaled decode: pick the smallest power-of-two 1/d (d=8,4,2)
+  // whose scaled output still covers out_size in BOTH dimensions, so
+  // the final bilinear only ever downscales. Power-of-two only: these
+  // hit libjpeg-turbo's SIMD 1x1/2x2/4x4 IDCT kernels; odd M/8 ratios
+  // fall back to scalar C IDCTs and measured *slower* than a full
+  // decode (165 vs 177 img/s at 5/8, 480x640 noise) — see BENCH_NOTES.
+  // Any libjpeg reports the real scaled dims via output_width/height,
+  // which the resize below consumes, so an unsupported ratio degrades
+  // gracefully.
+  {
+    unsigned int denom = 1;
+    for (unsigned int cand = 8; cand > 1; cand /= 2) {
+      if (static_cast<unsigned long>(cinfo.image_width) / cand >=
+              static_cast<unsigned long>(out_size) &&
+          static_cast<unsigned long>(cinfo.image_height) / cand >=
+              static_cast<unsigned long>(out_size)) {
+        denom = cand;
+        break;
+      }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;

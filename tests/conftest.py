@@ -35,6 +35,43 @@ def _clear_jax_caches_per_module():
     jax.clear_caches()
 
 
+@pytest.fixture
+def disk_dataset(tmp_path):
+    """Tiny flat-image dataset in the reference's on-disk layout
+    (``split/class/{img.jpg, img.npy}`` + class_feature_means.json —
+    ``experiment/dataloader_cnn.py:48-72``). Shared by
+    test_data_pipeline.py and test_packed.py."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from surya_tpu.features import FEATURE_NAMES_47
+
+    rng = np.random.default_rng(0)
+    classes = ["cobra", "plank"]
+    root = tmp_path / "flat"
+    means = {}
+    for split, n in [("train", 6), ("valid", 4), ("test", 4)]:
+        for c in classes:
+            d = root / split / c
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, (48, 48, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i}.jpg")
+                feats = rng.normal(size=47).astype(np.float32)
+                if i == 0:
+                    feats[5] = np.nan  # exercise imputation
+                np.save(d / f"img_{i}.npy", feats)
+            # one image without .npy must be skipped
+            Image.fromarray(arr).save(d / "orphan.jpg")
+    for c in classes:
+        means[c] = {name: float(i) for i, name in
+                    enumerate(FEATURE_NAMES_47)}
+    (root / "class_feature_means.json").write_text(json.dumps(means))
+    return str(root)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from surya_tpu.core.mesh import MeshSpec, create_mesh

@@ -106,35 +106,8 @@ def test_compute_class_stats_nan_aware():
 
 
 # --- disk dataset -------------------------------------------------------------
-
-@pytest.fixture
-def disk_dataset(tmp_path):
-    from PIL import Image
-
-    from surya_tpu.features import FEATURE_NAMES_47
-
-    rng = np.random.default_rng(0)
-    classes = ["cobra", "plank"]
-    root = tmp_path / "flat"
-    means = {}
-    for split, n in [("train", 6), ("valid", 4), ("test", 4)]:
-        for c in classes:
-            d = root / split / c
-            d.mkdir(parents=True)
-            for i in range(n):
-                arr = rng.integers(0, 255, (48, 48, 3), np.uint8)
-                Image.fromarray(arr).save(d / f"img_{i}.jpg")
-                feats = rng.normal(size=47).astype(np.float32)
-                if i == 0:
-                    feats[5] = np.nan  # exercise imputation
-                np.save(d / f"img_{i}.npy", feats)
-            # one image without .npy must be skipped
-            Image.fromarray(arr).save(d / "orphan.jpg")
-    for c in classes:
-        means[c] = {name: float(i) for i, name in
-                    enumerate(FEATURE_NAMES_47)}
-    (root / "class_feature_means.json").write_text(json.dumps(means))
-    return str(root)
+# (the disk_dataset fixture lives in conftest.py — shared with
+# tests/test_packed.py)
 
 
 def test_disk_source_end_to_end(disk_dataset, mesh8):
@@ -190,6 +163,30 @@ def test_native_decoder_if_available(tmp_path):
     assert out[-1].sum() == 0  # failed slot zero-filled
     # pixel sanity vs PIL (different bilinear filters: loose bound)
     with Image.open(paths[0]) as im:
+        ref = np.asarray(im.convert("RGB").resize((32, 32),
+                                                  Image.BILINEAR))
+    assert np.mean(np.abs(ref.astype(int) - out[0].astype(int))) < 40
+
+
+def test_native_decoder_dct_scaled_path(tmp_path):
+    """Sources much larger than the staging size take the DCT-scaled
+    decode (power-of-two scale_denom — decode.cpp) and must still land
+    within the loose PIL-parity bound of the unscaled path."""
+    from PIL import Image
+
+    from surya_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    # 512x768 -> 32 triggers scale_denom=8 (both dims /8 still >= 32)
+    yy, xx = np.mgrid[0:512, 0:768]
+    img = np.stack([(yy // 2) % 256, (xx // 3) % 256,
+                    ((yy + xx) // 4) % 256], -1).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    out, ok = native.decode_batch([p], 32)
+    assert ok == 1 and out.shape == (1, 32, 32, 3)
+    with Image.open(p) as im:
         ref = np.asarray(im.convert("RGB").resize((32, 32),
                                                   Image.BILINEAR))
     assert np.mean(np.abs(ref.astype(int) - out[0].astype(int))) < 40

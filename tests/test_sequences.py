@@ -92,6 +92,88 @@ def test_build_and_load(aug_tree):
     assert abs(float(np.asarray(out_b[0]).mean())) < 5.0
 
 
+def test_pack_sequences_equivalence_and_guards(aug_tree, tmp_path):
+    from surya_tpu.data.packed import (
+        PackedDataSource,
+        PackedSequenceSource,
+        pack_sequences,
+    )
+
+    aug, flat, out = aug_tree
+    build_sequence_dataset(aug, flat, out, seq_len=4, stride=2,
+                           image_size=32, splits=("train", "valid"))
+    pdir = str(tmp_path / "seqpack")
+    meta = pack_sequences(out, pdir, seq_len=4, verbose=False)
+    assert meta["kind"] == "sequences"
+    assert meta["splits"]["train"]["count"] == 8
+
+    cfg = DataConfig(seq_root=out, seq_len=4, batch_size=4, image_size=32,
+                     packed_dir=pdir)
+    live = SequenceDataSource(cfg)
+    packed = PackedSequenceSource(cfg)
+    assert packed.class_names == live.class_names
+
+    # identical epoch streams (same permutation seed)
+    for lb, pb in zip(live.train_batches(2), packed.train_batches(2)):
+        for a, b in zip(lb, pb):
+            np.testing.assert_array_equal(a, b)
+    for lb, pb in zip(live.eval_batches("valid"),
+                      packed.eval_batches("valid")):
+        for a, b in zip(lb, pb):
+            np.testing.assert_array_equal(a, b)
+
+    # resume skip
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pack_sequences(out, pdir, seq_len=4)
+    assert "skipping" in buf.getvalue()
+
+    # guards: wrong-kind source, seq_len mismatch
+    with pytest.raises(ValueError):
+        PackedDataSource(DataConfig(data_root=out, packed_dir=pdir))
+    with pytest.raises(ValueError):
+        PackedSequenceSource(DataConfig(seq_root=out, seq_len=6,
+                                        packed_dir=pdir))
+
+    # eval padding carries the -1 sentinel, identically to the live
+    # source (every batch padded to a pad_eval_to multiple)
+    padded = PackedSequenceSource(cfg, pad_eval_to=16)
+    live_padded = SequenceDataSource(cfg, pad_eval_to=16)
+    batches = list(padded.eval_batches("valid"))
+    assert all(len(b[2]) % 16 == 0 for b in batches)
+    for lb, pb in zip(live_padded.eval_batches("valid"), batches):
+        for a, b in zip(lb, pb):
+            np.testing.assert_array_equal(a, b)
+    pad_labels = np.concatenate([b[2] for b in batches])
+    assert (pad_labels == -1).sum() == 24  # 2 batches of 4, each -> 16
+
+
+def test_packed_sequence_end_to_end_train(aug_tree, tmp_path, mesh8):
+    from surya_tpu.core.config import Config, ModelConfig, TrainConfig
+    from surya_tpu.core.metrics import MetricsLogger
+    from surya_tpu.data.packed import PackedSequenceSource
+    from surya_tpu.train import train_and_evaluate
+
+    aug, flat, out = aug_tree
+    build_sequence_dataset(aug, flat, out, seq_len=4, stride=2,
+                           image_size=32, splits=("train", "valid"))
+    dcfg = DataConfig(seq_root=out, seq_len=4, batch_size=8,
+                      image_size=32,
+                      packed_dir=str(tmp_path / "seqpack"))
+    src = PackedSequenceSource(dcfg)  # build=True packs on first use
+    cfg = Config(
+        model=ModelConfig(name="ji_3dcnn", num_classes=1, seq_len=4,
+                          compute_dtype="float32"),
+        data=dcfg,
+        train=TrainConfig(epochs=1, lr=1e-3, seed=0))
+    summary = train_and_evaluate(cfg, src, mesh=mesh8,
+                                 logger=MetricsLogger(echo=False),
+                                 checkpoints=False)
+    assert np.isfinite(summary["history"][0]["train_loss"])
+
+
 def test_sequence_end_to_end_train(aug_tree, mesh8):
     from surya_tpu.core.config import Config, ModelConfig, TrainConfig
     from surya_tpu.core.metrics import MetricsLogger
