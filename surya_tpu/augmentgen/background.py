@@ -6,8 +6,16 @@ label CSVs + per-clip frame maps, run background removal, and save a
 transparent PNG to ``<out>/<split>/<label>/`` — skipping outputs that
 already exist (restartable, ``:106-107``).
 
-rembg (onnxruntime) is a gated host-side dependency; ``remove_fn`` is
-injectable so the batch logic tests without it.
+``remove_fn`` has two real backends plus injection for tests:
+
+- :func:`u2net_remove_fn` — the TPU-native path: the same U²-Net
+  rembg runs via onnxruntime, implemented in Flax
+  (``models/segmentation/u2net.py``), jitted once at a fixed 320²
+  input so every frame reuses one compiled program. Load converted
+  weights via ``import_u2net``; without weights the matting is
+  untrained (this environment has no egress to fetch the ``.pth``).
+- :func:`rembg_remove_fn` — the reference's host-side dependency,
+  gated (rembg is absent in this image).
 """
 
 from __future__ import annotations
@@ -35,6 +43,51 @@ def rembg_remove_fn() -> Callable:
             out.save(dst_path)
 
     return fn
+
+
+def u2net_remove_fn(variables=None, variant: str = "u2netp",
+                    size: int = 320, seed: int = 0) -> Callable:
+    """TPU-native background removal: Flax U²-Net saliency → alpha.
+
+    Matches rembg's basic (non-alpha-matting) output semantics for
+    ``rembg.remove()`` (ref ``batch_remove_background.py:114``):
+    RGBA PNG whose alpha is the min-max-normalized fused saliency map.
+    ``variables`` comes from :func:`import_u2net` (converted torch
+    weights) or a prior fine-tune; defaults to random init (untrained —
+    only useful for pipeline plumbing/tests in this egress-less image).
+    """
+    import jax
+    import numpy as np
+
+    from surya_tpu.models.segmentation.u2net import U2Net, saliency_fn
+
+    model = U2Net(variant=variant)
+    if variables is None:
+        import jax.numpy as jnp
+
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, size, size, 3)), train=False)
+    fn = jax.jit(saliency_fn(model, variables, size=size))
+
+    from PIL import Image
+
+    def remove(src_path: str, dst_path: str):
+        with Image.open(src_path) as im:
+            rgb_im = im.convert("RGB")
+            rgb = np.asarray(rgb_im)
+            # pre-resize on host so the jitted program has ONE fixed
+            # (size, size, 3) signature across arbitrary source sizes
+            small = np.asarray(rgb_im.resize((size, size),
+                                             Image.BILINEAR))
+        alpha = np.asarray(jax.device_get(fn(small)))  # (size, size)
+        a_im = Image.fromarray(
+            np.clip(np.round(alpha * 255.0), 0, 255).astype(np.uint8))
+        a8 = np.asarray(a_im.resize((rgb.shape[1], rgb.shape[0]),
+                                    Image.BILINEAR))
+        out = np.dstack([rgb, a8])
+        Image.fromarray(out, mode="RGBA").save(dst_path)
+
+    return remove
 
 
 def process_pipeline(renamed_root: str, label_csvs: list[str],

@@ -554,3 +554,128 @@ def randomize_bn_stats(model, seed=0):
             if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm3d)):
                 m.running_mean.uniform_(-0.5, 0.5, generator=g)
                 m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+# --------------------------------------------------------------------------
+# U²-Net (xuebinqin/U-2-Net naming, as rembg's onnx models were built
+# from; ref background stage: Background_remove/batch_remove_background
+# .py:114). Small variant only — the full one is the same code with
+# bigger channel specs.
+
+
+class U2REBNCONV(nn.Module):
+    def __init__(self, cin, cout, dirate=1):
+        super().__init__()
+        self.conv_s1 = nn.Conv2d(cin, cout, 3, padding=dirate,
+                                 dilation=dirate)
+        self.bn_s1 = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn_s1(self.conv_s1(x)))
+
+
+def _u2_upsample_like(src, tar):
+    return nn.functional.interpolate(src, size=tar.shape[2:],
+                                     mode="bilinear")
+
+
+class U2RSU(nn.Module):
+    def __init__(self, height, cin, mid, cout):
+        super().__init__()
+        self.height = height
+        self.rebnconvin = U2REBNCONV(cin, cout)
+        self.pool = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+        setattr(self, "rebnconv1", U2REBNCONV(cout, mid))
+        for i in range(2, height):
+            setattr(self, f"rebnconv{i}", U2REBNCONV(mid, mid))
+        setattr(self, f"rebnconv{height}", U2REBNCONV(mid, mid, dirate=2))
+        for i in range(height - 1, 1, -1):
+            setattr(self, f"rebnconv{i}d", U2REBNCONV(mid * 2, mid))
+        self.rebnconv1d = U2REBNCONV(mid * 2, cout)
+
+    def forward(self, x):
+        hxin = self.rebnconvin(x)
+        enc = [self.rebnconv1(hxin)]
+        hx = enc[0]
+        for i in range(2, self.height):
+            hx = getattr(self, f"rebnconv{i}")(self.pool(hx))
+            enc.append(hx)
+        hx = getattr(self, f"rebnconv{self.height}")(enc[-1])
+        for i in range(self.height - 1, 1, -1):
+            hx = getattr(self, f"rebnconv{i}d")(
+                torch.cat((hx, enc[i - 1]), 1))
+            hx = _u2_upsample_like(hx, enc[i - 2])
+        hx1d = self.rebnconv1d(torch.cat((hx, enc[0]), 1))
+        return hxin + hx1d
+
+
+class U2RSU4F(nn.Module):
+    def __init__(self, cin, mid, cout):
+        super().__init__()
+        self.rebnconvin = U2REBNCONV(cin, cout)
+        self.rebnconv1 = U2REBNCONV(cout, mid, dirate=1)
+        self.rebnconv2 = U2REBNCONV(mid, mid, dirate=2)
+        self.rebnconv3 = U2REBNCONV(mid, mid, dirate=4)
+        self.rebnconv4 = U2REBNCONV(mid, mid, dirate=8)
+        self.rebnconv3d = U2REBNCONV(mid * 2, mid, dirate=4)
+        self.rebnconv2d = U2REBNCONV(mid * 2, mid, dirate=2)
+        self.rebnconv1d = U2REBNCONV(mid * 2, cout, dirate=1)
+
+    def forward(self, x):
+        hxin = self.rebnconvin(x)
+        hx1 = self.rebnconv1(hxin)
+        hx2 = self.rebnconv2(hx1)
+        hx3 = self.rebnconv3(hx2)
+        hx4 = self.rebnconv4(hx3)
+        hx3d = self.rebnconv3d(torch.cat((hx4, hx3), 1))
+        hx2d = self.rebnconv2d(torch.cat((hx3d, hx2), 1))
+        hx1d = self.rebnconv1d(torch.cat((hx2d, hx1), 1))
+        return hxin + hx1d
+
+
+class MirrorU2NetP(nn.Module):
+    """U2NETP: every stage mid=16 out=64."""
+
+    def __init__(self):
+        super().__init__()
+        self.stage1 = U2RSU(7, 3, 16, 64)
+        self.stage2 = U2RSU(6, 64, 16, 64)
+        self.stage3 = U2RSU(5, 64, 16, 64)
+        self.stage4 = U2RSU(4, 64, 16, 64)
+        self.stage5 = U2RSU4F(64, 16, 64)
+        self.stage6 = U2RSU4F(64, 16, 64)
+        self.pool = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+        self.stage5d = U2RSU4F(128, 16, 64)
+        self.stage4d = U2RSU(4, 128, 16, 64)
+        self.stage3d = U2RSU(5, 128, 16, 64)
+        self.stage2d = U2RSU(6, 128, 16, 64)
+        self.stage1d = U2RSU(7, 128, 16, 64)
+        for i in range(1, 7):
+            setattr(self, f"side{i}", nn.Conv2d(64, 1, 3, padding=1))
+        self.outconv = nn.Conv2d(6, 1, 1)
+
+    def forward(self, x):
+        hx1 = self.stage1(x)
+        hx2 = self.stage2(self.pool(hx1))
+        hx3 = self.stage3(self.pool(hx2))
+        hx4 = self.stage4(self.pool(hx3))
+        hx5 = self.stage5(self.pool(hx4))
+        hx6 = self.stage6(self.pool(hx5))
+        hx6up = _u2_upsample_like(hx6, hx5)
+        hx5d = self.stage5d(torch.cat((hx6up, hx5), 1))
+        hx4d = self.stage4d(
+            torch.cat((_u2_upsample_like(hx5d, hx4), hx4), 1))
+        hx3d = self.stage3d(
+            torch.cat((_u2_upsample_like(hx4d, hx3), hx3), 1))
+        hx2d = self.stage2d(
+            torch.cat((_u2_upsample_like(hx3d, hx2), hx2), 1))
+        hx1d = self.stage1d(
+            torch.cat((_u2_upsample_like(hx2d, hx1), hx1), 1))
+        d1 = self.side1(hx1d)
+        d2 = _u2_upsample_like(self.side2(hx2d), d1)
+        d3 = _u2_upsample_like(self.side3(hx3d), d1)
+        d4 = _u2_upsample_like(self.side4(hx4d), d1)
+        d5 = _u2_upsample_like(self.side5(hx5d), d1)
+        d6 = _u2_upsample_like(self.side6(hx6), d1)
+        d0 = self.outconv(torch.cat((d1, d2, d3, d4, d5, d6), 1))
+        return [torch.sigmoid(d) for d in (d0, d1, d2, d3, d4, d5, d6)]
