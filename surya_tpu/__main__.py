@@ -212,11 +212,17 @@ def cmd_check() -> int:
     report["devices"] = [str(d) for d in jax.devices()]
     for dep, why in [("PIL", "image IO"), ("cv2", "video IO/skeletons"),
                      ("mediapipe", "pose landmark extraction"),
-                     ("rembg", "background removal"),
-                     ("diffusers", "Zero123-Plus multiview"),
+                     ("rembg", "background removal (optional: "
+                               "TPU-native U2-Net backend needs none)"),
+                     ("diffusers", "Zero123-Plus multiview (optional: "
+                                   "TPU-native sampler needs none)"),
                      ("matplotlib", "plots"),
                      ("sklearn", "metric cross-checks (tests)")]:
         report[dep] = {"available": probe(dep), "needed_for": why}
+    report["tpu_native_backends"] = {
+        "u2net_background_removal": "models/segmentation/u2net.py",
+        "euler_ancestral_multiview": "models/diffusion/",
+    }
     from surya_tpu import native
 
     report["native_decoder"] = native.available()

@@ -7,12 +7,20 @@ novel viewpoints which is sliced into 6 view images
 view's existence (``:110-114``). The default 75 inference steps match
 ``:136-143`` (CLI ``--steps``).
 
-Diffusion itself stays an optional external stage (``generate_fn``
-injectable; the ``zero123plus_generate_fn`` adapter loads
-``sudo-ai/zero123plus-v1.1`` with the trailing-timestep Euler-Ancestral
-scheduler as in ``:59-67`` — it requires diffusers + a GPU/large host
-and is not exercised on TPU). The grid slicer is pure PIL and fully
-tested.
+``generate_fn`` has three backends:
+
+- :func:`jax_diffusion_generate_fn` — the TPU-native path: the
+  trailing-timestep Euler-Ancestral sampler the reference configures
+  (``:59-67``) reimplemented in JAX (``models/diffusion/``) with the
+  whole trajectory fused into one ``lax.scan`` program, conditioned
+  on the clean input image and emitting the 3×2 grid directly. The
+  denoiser is pluggable; the built-in ``TinyDenoiser`` makes the path
+  executable here (the real zero123plus UNet weights are
+  egress-blocked).
+- ``zero123plus_generate_fn`` — the reference's diffusers adapter
+  (requires diffusers + a GPU/large host; gated).
+- any injected callable (tests). The grid slicer is pure PIL and
+  fully tested.
 
 Usage: python -m surya_tpu.augmentgen.multiview CLEAN_ROOT OUT --steps 75
 """
@@ -56,6 +64,69 @@ def zero123plus_generate_fn(num_steps: int = 75) -> Callable:
 
     def fn(image):  # pragma: no cover
         return pipeline(image, num_inference_steps=num_steps).images[0]
+
+    return fn
+
+
+def jax_diffusion_generate_fn(denoiser=None, variables=None,
+                              num_steps: int = 75, tile: int = 320,
+                              rows: int = 3, cols: int = 2,
+                              prediction_type: str = "v_prediction",
+                              seed: int = 0) -> Callable:
+    """TPU-native grid generation: Euler-Ancestral (trailing spacing,
+    as the reference configures diffusers at ``batch_aug.py:59-67``)
+    over a pluggable conditional denoiser, one fused ``lax.scan``
+    program per fixed grid shape.
+
+    ``denoiser(scaled_latents, t, cond) -> model_output`` where cond
+    is the clean input resized to the grid, in [-1, 1]. Defaults to a
+    random-init :class:`TinyDenoiser` (untrained — plumbing/testing
+    only; zero123plus weights cannot be fetched in this image).
+    v-prediction default matches zero123plus v1.1's training.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from surya_tpu.models.diffusion import (
+        EulerAncestralSchedule,
+        TinyDenoiser,
+        sample,
+    )
+
+    gh, gw = rows * tile, cols * tile
+    if denoiser is None:
+        model = TinyDenoiser()
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, gh, gw, 3)), jnp.float32(0.0),
+                jnp.zeros((1, gh, gw, 3)))
+
+        def denoiser(scaled, t, cond):
+            return model.apply(variables, scaled, t, cond)
+
+    schedule = EulerAncestralSchedule.create(
+        num_steps, timestep_spacing="trailing",
+        prediction_type=prediction_type)
+
+    @jax.jit
+    def run(cond, key):
+        dn = lambda scaled, t: denoiser(scaled, t, cond)  # noqa: E731
+        return sample(schedule, dn, key, (1, gh, gw, 3))
+
+    counter = [0]
+
+    def fn(image):
+        cond = np.asarray(
+            image.convert("RGB").resize((gw, gh), Image.BILINEAR),
+            np.float32) / 127.5 - 1.0
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter[0])
+        counter[0] += 1
+        out = np.asarray(jax.device_get(run(cond[None], key)))[0]
+        out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return Image.fromarray(out)
 
     return fn
 
@@ -111,6 +182,14 @@ if __name__ == "__main__":
     ap.add_argument("clean_root")
     ap.add_argument("out_root")
     ap.add_argument("--steps", type=int, default=75)
+    ap.add_argument("--backend", choices=("diffusers", "jax"),
+                    default="diffusers",
+                    help="jax = TPU-native Euler-Ancestral sampler "
+                         "(models/diffusion); pass converted denoiser "
+                         "weights programmatically via "
+                         "jax_diffusion_generate_fn for real output")
     args = ap.parse_args()
+    gen = (jax_diffusion_generate_fn(num_steps=args.steps)
+           if args.backend == "jax" else None)
     print(process_augmentation(args.clean_root, args.out_root,
-                               num_steps=args.steps))
+                               generate_fn=gen, num_steps=args.steps))
