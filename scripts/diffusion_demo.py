@@ -115,16 +115,16 @@ def main():
 
     @jax.jit
     def train_step(variables, opt, x0, cond, eps, idx):
-        sig = jnp.asarray(sigmas)[idx][:, None, None, None]
+        # one shared noise level per step (TinyDenoiser's t-embedding
+        # is scalar); successive steps cover the sigma range
+        sig = jnp.asarray(sigmas)[idx]
         t = jnp.asarray(timesteps)[idx]
         noisy = x0 + sig * eps
         s1 = jnp.sqrt(sig ** 2 + 1.0)
         v_target = (eps - sig * x0) / s1
 
         def loss_fn(p):
-            # one shared t per batch keeps TinyDenoiser's scalar
-            # t-embedding API; index 0 of the per-sample draw
-            out = model.apply(p, noisy / s1, t[0], cond)
+            out = model.apply(p, noisy / s1, t, cond)
             return jnp.mean((out - v_target) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(variables)
@@ -138,7 +138,7 @@ def main():
         x0 = np.stack([grid_of(t) for t in tiles])
         cond = cond_full(tiles)
         eps = rng.normal(size=x0.shape).astype(np.float32)
-        idx = np.full((BATCH,), rng.integers(0, len(sigmas)), np.int32)
+        idx = np.int32(rng.integers(0, len(sigmas)))
         variables, opt, loss = train_step(
             variables, opt, jnp.asarray(x0), jnp.asarray(cond),
             jnp.asarray(eps), jnp.asarray(idx))

@@ -163,38 +163,22 @@ class DiskDataSource:
                 raise item
             yield item
 
-    @staticmethod
-    def _pad_batch(batch, pad_to: int):
-        # sentinel label -1 on pad rows: make_eval_step masks them out,
-        # so multi-chip eval metrics are exact on any split size
-        imgs, feats, labels = batch
-        extra = (-len(labels)) % pad_to
-        if extra:
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], extra, 0)])
-            feats = np.concatenate([feats,
-                                    np.repeat(feats[-1:], extra, 0)])
-            labels = np.concatenate(
-                [labels, np.full((extra,), -1, dtype=labels.dtype)])
-        return imgs, feats, labels
-
     def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:
-        labels = self.index["train"][2]
-        n = len(labels)
-        rng = np.random.default_rng((self.seed, epoch_seed))
-        order = rng.permutation(n)
+        from surya_tpu.data.batching import epoch_order
+
+        n = len(self.index["train"][2])
         bs = self.cfg.batch_size
-        stop = max((n // bs) * bs, bs)
-        order = np.resize(order, stop) if n < bs else order[:stop]
+        order = epoch_order(n, bs, self.seed, epoch_seed)
         yield from self._batches("train", order, bs)
 
     def eval_batches(self, split: str) -> Iterator[tuple]:
+        from surya_tpu.data.batching import pad_eval_iter
+
         if split not in self.index:
             raise KeyError(split)   # eager: callers probe availability
         n = len(self.index[split][2])
         it = self._batches(split, np.arange(n), self.cfg.batch_size)
-        if self.pad_eval_to > 1:
-            return (self._pad_batch(b, self.pad_eval_to) for b in it)
-        return it
+        return pad_eval_iter(it, self.pad_eval_to)
 
     # -- device-side finish -------------------------------------------------
 

@@ -41,6 +41,19 @@ FORMAT_VERSION = 1
 STATS_FILES = ("class_feature_means.json", "class_feature_stds.json")
 
 
+def _check_source_root(meta: dict, cfg_root: str, pdir: str) -> None:
+    """A pack records the dataset it was decoded from; serving it for a
+    *different* configured root would silently train on the wrong
+    bytes. (Same-root re-generation is undetectable without hashing
+    every image — rebuild with overwrite=True after editing data.)"""
+    recorded = meta.get("source_root")
+    if cfg_root and recorded and os.path.abspath(cfg_root) != recorded:
+        raise ValueError(
+            f"packed cache {pdir} was built from {recorded} but the "
+            f"config points at {os.path.abspath(cfg_root)}; repack "
+            "(overwrite=True / a fresh out dir) or fix the data root")
+
+
 def _split_paths(out_dir: str, split: str) -> dict:
     return {
         "images": os.path.join(out_dir, f"{split}_images.npy"),
@@ -147,6 +160,7 @@ class PackedDataSource(DiskDataSource):
         if meta.get("kind", "flat") != "flat":
             raise ValueError(f"{pdir} is a {meta['kind']} pack; "
                              "use PackedSequenceSource")
+        _check_source_root(meta, cfg.data_root, pdir)
 
         self.cfg = cfg
         self.staging = int(meta["staging"])
@@ -269,15 +283,15 @@ class PackedSequenceSource:
     """SequenceDataSource drop-in over the packed sequence memmaps.
 
     Mirrors its batch interface (train_batches/eval_batches/
-    device_transform, pad_eval_to sentinel padding) via composition:
-    an inner SequenceDataSource provides the device-side transform so
-    standardization semantics stay in one place."""
+    device_transform, pad_eval_to sentinel padding); batching and the
+    device-side transform come from the same shared helpers the live
+    source uses (data/batching.py, sequence_device_transform), so the
+    semantics cannot diverge."""
 
     def __init__(self, cfg: DataConfig, packed_dir: str | None = None,
                  stats=None, seed: int = 0, pad_eval_to: int = 1,
                  build: bool = True):
         from surya_tpu.data.imputation import ClassFeatureStats
-        from surya_tpu.data.sequences import SequenceDataSource
 
         pdir = packed_dir or cfg.packed_dir
         if not pdir:
@@ -297,6 +311,7 @@ class PackedSequenceSource:
             raise ValueError(
                 f"pack was built with seq_len={meta['seq_len']}, config "
                 f"wants {cfg.seq_len}; repack or fix data.seq_len")
+        _check_source_root(meta, cfg.seq_root, pdir)
 
         self.cfg = cfg
         self.seed = seed
@@ -311,11 +326,6 @@ class PackedSequenceSource:
             if os.path.exists(means):
                 stats = ClassFeatureStats.from_json(
                     means, stds if os.path.exists(stds) else None)
-        # inner live source purely for device_transform semantics —
-        # constructed WITHOUT scanning any split directory
-        self._inner = SequenceDataSource.__new__(SequenceDataSource)
-        self._inner.cfg = cfg
-        self._inner.stats = stats
         self.stats = stats
 
         self._images, self._feats, self._labels = {}, {}, {}
@@ -335,31 +345,22 @@ class PackedSequenceSource:
                    self._labels[split][idx])
 
     def train_batches(self, epoch_seed: int = 0):
+        from surya_tpu.data.batching import epoch_order
+
         n = len(self._labels["train"])
-        rng = np.random.default_rng((self.seed, epoch_seed))
-        bs = self.cfg.batch_size
-        order = rng.permutation(n)
-        stop = (n // bs) * bs if n >= bs else bs
-        order = np.resize(order, stop) if n < bs else order[:stop]
+        order = epoch_order(n, self.cfg.batch_size, self.seed, epoch_seed)
         return self._batches("train", order)
 
     def eval_batches(self, split: str):
+        from surya_tpu.data.batching import pad_eval_iter
+
         if split not in self._labels:
             raise KeyError(split)
         it = self._batches(split, np.arange(len(self._labels[split])))
-        if self.pad_eval_to > 1:
-            def pad(batch):
-                extra = (-len(batch[2])) % self.pad_eval_to
-                if not extra:
-                    return batch
-                arrs = [np.concatenate([a, np.repeat(a[-1:], extra, 0)])
-                        for a in batch[:-1]]
-                labels = batch[-1]
-                arrs.append(np.concatenate(
-                    [labels, np.full((extra,), -1, dtype=labels.dtype)]))
-                return tuple(arrs)
-            return (pad(b) for b in it)
-        return it
+        return pad_eval_iter(it, self.pad_eval_to)
 
     def device_transform(self, split: str, key, batch):
-        return self._inner.device_transform(split, key, batch)
+        from surya_tpu.data.sequences import sequence_device_transform
+
+        return sequence_device_transform(self.cfg, self.stats, split,
+                                         key, batch)

@@ -65,20 +65,12 @@ class ArrayDataSource:
         return self._eval_iter(split)
 
     def _eval_iter(self, split: str) -> Iterator[tuple]:
+        from surya_tpu.data.batching import pad_batch
+
         imgs, feats, labels = self.splits[split]
         n = len(labels)
         bs = self.batch_size
         for i in range(0, n, bs):
             sl = slice(i, min(i + bs, n))
-            bi, bf, bl = imgs[sl], feats[sl], labels[sl]
-            pad = self.pad_eval_to
-            if pad > 1 and len(bl) % pad:
-                # Pad by repeating the last sample with SENTINEL label
-                # -1; make_eval_step masks sentinel rows out of every
-                # statistic, so eval metrics are exact on any split size.
-                extra = pad - (len(bl) % pad)
-                bi = np.concatenate([bi, np.repeat(bi[-1:], extra, 0)])
-                bf = np.concatenate([bf, np.repeat(bf[-1:], extra, 0)])
-                bl = np.concatenate(
-                    [bl, np.full((extra,), -1, dtype=bl.dtype)])
-            yield bi, bf, bl
+            yield pad_batch((imgs[sl], feats[sl], labels[sl]),
+                            self.pad_eval_to)

@@ -202,51 +202,44 @@ class SequenceDataSource:
                    np.asarray([s[2] for s in samples], np.int32))
 
     def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:
+        from surya_tpu.data.batching import epoch_order
+
         n = len(self.index["train"])
-        rng = np.random.default_rng((self.seed, epoch_seed))
-        bs = self.cfg.batch_size
-        order = rng.permutation(n)
-        # full batches only; tiny datasets wrap-pad one full batch
-        stop = (n // bs) * bs if n >= bs else bs
-        order = np.resize(order, stop) if n < bs else order[:stop]
+        order = epoch_order(n, self.cfg.batch_size, self.seed, epoch_seed)
         return self._batches("train", order)
 
     def eval_batches(self, split: str) -> Iterator[tuple]:
+        from surya_tpu.data.batching import pad_eval_iter
+
         if split not in self.index:
             raise KeyError(split)   # eager: callers probe availability
         it = self._batches(split, np.arange(len(self.index[split])))
-        if self.pad_eval_to > 1:
-            def pad(batch):
-                # sentinel label -1 on pad rows (masked by the eval step)
-                extra = (-len(batch[2])) % self.pad_eval_to
-                if not extra:
-                    return batch
-                arrs = [np.concatenate([a, np.repeat(a[-1:], extra, 0)])
-                        for a in batch[:-1]]
-                labels = batch[-1]
-                arrs.append(np.concatenate(
-                    [labels, np.full((extra,), -1, dtype=labels.dtype)]))
-                return tuple(arrs)
-            return (pad(b) for b in it)
-        return it
+        return pad_eval_iter(it, self.pad_eval_to)
 
     def device_transform(self, split: str, key, batch):
-        """uint8 frames → normalized float (no augmentation — the
-        reference's sequence loader uses pre-baked transforms only);
-        optional per-timestep feature standardization (3dcnn loader
-        semantics: NaN → class mean, then (x−μ_c)/σ_c with σ<1e-6 → 0)."""
-        import jax.numpy as jnp
+        return sequence_device_transform(self.cfg, self.stats, split,
+                                         key, batch)
 
-        from surya_tpu.data.augment import normalize
 
-        imgs, feats, labels = batch
-        imgs = normalize(jnp.asarray(imgs, jnp.float32) / 255.0)
-        feats = jnp.asarray(feats)
-        if self.stats is not None and self.cfg.standardize_features:
-            # labels broadcast over the time axis: (B,) → (B, T)
-            lab = jnp.asarray(labels)[:, None]
-            lab = jnp.broadcast_to(lab, feats.shape[:2])
-            feats = self.stats.standardize(feats, lab)
-        else:
-            feats = jnp.nan_to_num(feats)
-        return imgs, feats, labels
+def sequence_device_transform(cfg, stats, split, key, batch):
+    """uint8 frames → normalized float (no augmentation — the
+    reference's sequence loader uses pre-baked transforms only);
+    optional per-timestep feature standardization (3dcnn loader
+    semantics: NaN → class mean, then (x−μ_c)/σ_c with σ<1e-6 → 0).
+    Module-level so the packed source shares it without instantiating
+    a disk-scanning SequenceDataSource."""
+    import jax.numpy as jnp
+
+    from surya_tpu.data.augment import normalize
+
+    imgs, feats, labels = batch
+    imgs = normalize(jnp.asarray(imgs, jnp.float32) / 255.0)
+    feats = jnp.asarray(feats)
+    if stats is not None and cfg.standardize_features:
+        # labels broadcast over the time axis: (B,) → (B, T)
+        lab = jnp.asarray(labels)[:, None]
+        lab = jnp.broadcast_to(lab, feats.shape[:2])
+        feats = stats.standardize(feats, lab)
+    else:
+        feats = jnp.nan_to_num(feats)
+    return imgs, feats, labels

@@ -53,6 +53,7 @@ class EulerAncestralSchedule:
                beta_start: float = 0.00085, beta_end: float = 0.012,
                beta_schedule: str = "scaled_linear",
                timestep_spacing: str = "trailing",
+               steps_offset: int = 1,
                prediction_type: str = "epsilon") -> "EulerAncestralSchedule":
         if beta_schedule == "scaled_linear":
             betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
@@ -66,14 +67,20 @@ class EulerAncestralSchedule:
 
         T = num_train_timesteps
         if timestep_spacing == "trailing":
-            # walk back from T in equal strides; hits T-1 exactly
+            # walk back from T in equal strides; hits T-1 exactly.
+            # Closed-form (not np.arange(T, 0, -step)): float fuzz in
+            # arange yields num_steps+1 entries with a trailing -1 for
+            # ~6% of step counts (e.g. 61, 103).
             step = T / num_steps
-            timesteps = np.arange(T, 0, -step).round() - 1.0
+            timesteps = (T - step * np.arange(num_steps)).round() - 1.0
         elif timestep_spacing == "linspace":
             timesteps = np.linspace(0, T - 1, num_steps)[::-1].copy()
         elif timestep_spacing == "leading":
+            # diffusers applies the config's steps_offset (1 for the
+            # SD/zero123plus family) in this mode only
             step = T // num_steps
             timesteps = (np.arange(num_steps) * step).round()[::-1].copy()
+            timesteps += steps_offset
         else:
             raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
 

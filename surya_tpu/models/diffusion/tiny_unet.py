@@ -51,8 +51,11 @@ class TinyDenoiser(nn.Module):
         h = nn.swish(nn.GroupNorm(8, name="gn1")(h))
         h = nn.Conv(f * 2, (3, 3), padding="SAME", name="mid")(h)
         h = nn.swish(nn.GroupNorm(8, name="gn2")(h))
-        b, hh, ww, c = h.shape
-        h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+        # resize to the skip's exact dims (not 2×): SAME-padded stride-2
+        # gives ceil(h/2), so doubling would mismatch odd inputs
+        b, _, _, c = h.shape
+        h = jax.image.resize(
+            h, (b, skip.shape[1], skip.shape[2], c), "nearest")
         h = nn.Conv(f, (3, 3), padding="SAME", name="up")(h)
         h = nn.swish(nn.GroupNorm(8, name="gn3")(h))
         h = jnp.concatenate([h, skip], -1)

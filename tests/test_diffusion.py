@@ -43,15 +43,25 @@ def test_schedule_construction():
         sch.sigmas[0], np.sqrt((1 - abar[999]) / abar[999]), rtol=1e-6)
     assert sch.init_noise_sigma == pytest.approx(float(sch.sigmas[0]))
 
+    # exact step count for every num_steps (np.arange float fuzz used
+    # to emit num_steps+1 with a trailing t=-1 for e.g. 61, 103)
+    for n in (61, 103, 121, 122, 201):
+        s = EulerAncestralSchedule.create(n, timestep_spacing="trailing")
+        assert len(s.timesteps) == n and len(s.sigmas) == n + 1
+        assert s.timesteps[0] == 999.0 and s.timesteps[-1] >= 0.0
+
     lin = EulerAncestralSchedule.create(10, timestep_spacing="linspace")
     assert lin.timesteps[0] == pytest.approx(999.0)
     assert lin.timesteps[-1] == pytest.approx(0.0)
     lead = EulerAncestralSchedule.create(10, timestep_spacing="leading")
-    # leading starts at 0 and excludes T-1; init scale is the
-    # karras-style sqrt(sigma_max^2+1)
-    assert lead.timesteps[-1] == 0.0
+    # leading applies the SD-family steps_offset=1 (diffusers parity)
+    # and excludes T-1; init scale is karras-style sqrt(sigma_max^2+1)
+    assert lead.timesteps[-1] == 1.0
     assert lead.init_noise_sigma == pytest.approx(
         float(np.sqrt(lead.sigmas[0] ** 2 + 1)))
+    lead0 = EulerAncestralSchedule.create(10, timestep_spacing="leading",
+                                          steps_offset=0)
+    assert lead0.timesteps[-1] == 0.0
 
 
 @pytest.mark.parametrize("pred_type", ["epsilon", "v_prediction"])
@@ -119,6 +129,21 @@ def test_sample_scan_equals_python_loop():
         out = denoiser(scaled, jnp.asarray(sch.timesteps)[i])
         lat = sch.step(out, i, lat, jax.random.normal(kn, lat.shape))
     np.testing.assert_allclose(got, np.asarray(lat), rtol=1e-5, atol=1e-5)
+
+
+def test_tiny_denoiser_odd_dims():
+    """Odd H/W must survive the down/up path (regression: resize-to-2x
+    mismatched the SAME-padded ceil(h/2) stride-2 output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surya_tpu.models.diffusion import TinyDenoiser
+
+    model = TinyDenoiser(features=16)
+    x = jnp.zeros((1, 45, 30, 3))
+    v = model.init(jax.random.PRNGKey(0), x, jnp.float32(5.0), x)
+    out = model.apply(v, x, jnp.float32(5.0), x)
+    assert out.shape == (1, 45, 30, 3)
 
 
 def test_tiny_denoiser_shapes_and_grad():

@@ -87,6 +87,19 @@ def test_packed_source_eval_padding_and_transform(disk_dataset, tmp_path):
     assert not bool(np.isnan(np.asarray(feats)).any())
 
 
+def test_packed_rejects_foreign_source_root(disk_dataset, tmp_path):
+    """A pack records its source dataset; serving it for a different
+    configured data_root must fail loudly, not train on stale bytes."""
+    from surya_tpu.data.packed import PackedDataSource, pack_dataset
+
+    pdir = str(tmp_path / "pack")
+    pack_dataset(disk_dataset, pdir, staging=32, use_native=False)
+    other = tmp_path / "other_root"
+    other.mkdir()
+    with pytest.raises(ValueError, match="was built from"):
+        PackedDataSource(_dcfg(str(other)), packed_dir=pdir)
+
+
 def test_packed_missing_build_flag(disk_dataset, tmp_path):
     from surya_tpu.data.packed import PackedDataSource
 

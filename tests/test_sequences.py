@@ -113,13 +113,15 @@ def test_pack_sequences_equivalence_and_guards(aug_tree, tmp_path):
     packed = PackedSequenceSource(cfg)
     assert packed.class_names == live.class_names
 
-    # identical epoch streams (same permutation seed)
-    for lb, pb in zip(live.train_batches(2), packed.train_batches(2)):
-        for a, b in zip(lb, pb):
+    # identical epoch streams (same permutation seed); strict zip so a
+    # batch-count mismatch fails instead of truncating the comparison
+    for lb, pb in zip(live.train_batches(2), packed.train_batches(2),
+                      strict=True):
+        for a, b in zip(lb, pb, strict=True):
             np.testing.assert_array_equal(a, b)
     for lb, pb in zip(live.eval_batches("valid"),
-                      packed.eval_batches("valid")):
-        for a, b in zip(lb, pb):
+                      packed.eval_batches("valid"), strict=True):
+        for a, b in zip(lb, pb, strict=True):
             np.testing.assert_array_equal(a, b)
 
     # resume skip
@@ -143,8 +145,9 @@ def test_pack_sequences_equivalence_and_guards(aug_tree, tmp_path):
     live_padded = SequenceDataSource(cfg, pad_eval_to=16)
     batches = list(padded.eval_batches("valid"))
     assert all(len(b[2]) % 16 == 0 for b in batches)
-    for lb, pb in zip(live_padded.eval_batches("valid"), batches):
-        for a, b in zip(lb, pb):
+    for lb, pb in zip(live_padded.eval_batches("valid"), batches,
+                      strict=True):
+        for a, b in zip(lb, pb, strict=True):
             np.testing.assert_array_equal(a, b)
     pad_labels = np.concatenate([b[2] for b in batches])
     assert (pad_labels == -1).sum() == 24  # 2 batches of 4, each -> 16
