@@ -28,15 +28,21 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     it never fails the caller — cache write errors degrade to
     uncached compiles inside jax.
     """
-    if os.environ.get("SURYA_NO_COMPILE_CACHE"):
+    if os.environ.get("SURYA_NO_COMPILE_CACHE", "").lower() not in (
+            "", "0", "false", "no"):
         return None
     import jax
 
     path = path or DEFAULT_DIR
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:  # unwritable HOME: degrade, don't crash the CLI
+        print(f"[cache] compilation cache disabled ({e})")
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache every program that took >1s to compile (the default entry
-    # minimum would skip small-but-tunnel-expensive programs)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY program (jax's defaults skip sub-1s compiles — but
+    # through the remote-compile tunnel even "cheap" programs cost
+    # seconds of RPC, so nothing is too small to cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

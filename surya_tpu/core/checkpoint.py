@@ -23,7 +23,15 @@ def _abstract_template(meta) -> Any:
     tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
     if tree is None:
         return None
-    here = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    # Prefer a host CPU device: the caller gets numpy leaves anyway
+    # (host_copy), and staging a whole TrainState (params + Adam
+    # moments) onto accelerator device 0 both wastes tunnel transfer
+    # and can OOM a chip that only ever held a shard of it.
+    try:
+        dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        dev = jax.devices()[0]
+    here = jax.sharding.SingleDeviceSharding(dev)
     try:
         return jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
@@ -36,13 +44,20 @@ def _abstract_template(meta) -> Any:
 class CheckpointManager:
     """Thin orbax wrapper with 'best' + 'latest' retention."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 best_fn=None, best_mode: str = "max"):
+        """With ``best_fn``, retention keeps the best ``max_to_keep``
+        checkpoints BY METRIC (not the latest ones) — so forced
+        preemption snapshots (saved without metrics, always kept)
+        can never evict the best-metric checkpoint."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True),
+                max_to_keep=max_to_keep, create=True,
+                best_fn=best_fn, best_mode=best_mode,
+                keep_checkpoints_without_metrics=True),
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None,
@@ -68,6 +83,13 @@ class CheckpointManager:
             return self._mgr.restore(step)
         return host_copy(self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)))
+
+    def delete(self, step: int) -> None:
+        """Drop one step (used to GC stale preemption snapshots)."""
+        try:
+            self._mgr.delete(step)
+        except Exception:
+            pass  # already gone / pruned
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

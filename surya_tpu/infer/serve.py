@@ -50,10 +50,9 @@ def _make_forward(cfg: ModelConfig, model):
     """(variables, images, feats) → (preds int32 (B,), probs f32 (B,C))."""
 
     def forward(variables, images, feats):
-        if cfg.mode == "numerical_only":   # ref :264-271 dummy inputs
-            images = jnp.zeros_like(images)
-        if cfg.mode == "image_only":
-            feats = jnp.zeros_like(feats)
+        from surya_tpu.models.common import apply_mode_ablation
+
+        images, feats = apply_mode_ablation(cfg.mode, images, feats)
         logits = model.apply(variables, images, feats, train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
@@ -114,9 +113,14 @@ class Predictor:
 
 
 def export_model(cfg: ModelConfig, variables, path: str,
-                 batch_size: int = 32, image_size: int = 224) -> None:
+                 batch_size: int = 32, image_size: int = 224,
+                 platforms: tuple = ("cpu", "tpu")) -> None:
     """Serialize the forward pass (params baked in) as a StableHLO
-    artifact at ``path``. Loadable with ``load_exported``."""
+    artifact at ``path``. Loadable with ``load_exported``.
+
+    ``platforms`` lowers for each listed backend (default cpu+tpu) so
+    the artifact really is portable — a single-platform export refuses
+    to run anywhere else."""
     model = get_model(cfg)
     forward = _make_forward(cfg, model)
     # Keep params on host: they are traced into the artifact as
@@ -128,7 +132,8 @@ def export_model(cfg: ModelConfig, variables, path: str,
         return forward(variables, images, feats)
 
     img, feat = _input_specs(cfg, batch_size, image_size)
-    exported = jax.export.export(jax.jit(serving_fn))(img, feat)
+    exported = jax.export.export(
+        jax.jit(serving_fn), platforms=list(platforms))(img, feat)
     with open(path, "wb") as f:
         f.write(exported.serialize())
 

@@ -40,11 +40,10 @@ def make_frame_classifier(cfg: ModelConfig, variables,
 
     @jax.jit
     def classify(frames, feats):
+        from surya_tpu.models.common import apply_mode_ablation
+
         images = eval_preprocess(frames, out_size=image_size)
-        if cfg.mode == "numerical_only":      # dummy images (ref :264-271)
-            images = jnp.zeros_like(images)
-        if cfg.mode == "image_only":
-            feats = jnp.zeros_like(feats)
+        images, feats = apply_mode_ablation(cfg.mode, images, feats)
         logits = model.apply(variables, images, feats, train=False)
         probs = jax.nn.softmax(logits, axis=-1)
         preds = jnp.argmax(probs, axis=-1)

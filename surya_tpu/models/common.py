@@ -28,6 +28,18 @@ def check_mode(mode: str) -> None:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
 
 
+def apply_mode_ablation(mode: str, images, feats):
+    """Zero the unused modality for the ablation modes (the reference
+    feeds dummy tensors, ``experiment/test_on_video_cnn.py:264-271``).
+    Single owner of the rule for both inference tiers (infer/video.py,
+    infer/serve.py)."""
+    if mode == "numerical_only":
+        images = jnp.zeros_like(images)
+    if mode == "image_only":
+        feats = jnp.zeros_like(feats)
+    return images, feats
+
+
 class NumericalMLP(nn.Module):
     """47 → hidden (=2×in) → ReLU → Dropout → out projection (no final
     activation, matching ``Quadtree_from scratch/models.py:255-260``)."""

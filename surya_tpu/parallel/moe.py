@@ -102,6 +102,14 @@ class MoEFFN(nn.Module):
     def __call__(self, x, train: bool = False):
         b, t, d = x.shape
         e, ff = self.num_experts, self.ff_dim
+        if self.top_k > e:
+            raise ValueError(f"top_k={self.top_k} > num_experts={e}")
+        if (self.mesh is not None
+                and e % self.mesh.shape.get(self.expert_axis, 1)):
+            raise ValueError(
+                f"num_experts={e} not divisible by mesh axis "
+                f"{self.expert_axis!r}="
+                f"{self.mesh.shape[self.expert_axis]}")
         n = b * t
         capacity = int(math.ceil(
             self.top_k * n / e * self.capacity_factor))
@@ -118,14 +126,20 @@ class MoEFFN(nn.Module):
                  aux * self.aux_loss_weight,
                  reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
 
-        w1 = self.param("w1", nn.initializers.lecun_normal(),
-                        (e, d, ff), jnp.float32)
-        b1 = self.param("b1", nn.initializers.zeros, (e, ff),
-                        jnp.float32)
-        w2 = self.param("w2", nn.initializers.lecun_normal(),
-                        (e, ff, d), jnp.float32)
-        b2 = self.param("b2", nn.initializers.zeros, (e, d),
-                        jnp.float32)
+        # expert weights carry the expert-axis constraint too: without
+        # it GSPMD keeps them replicated and EP saves no weight memory
+        w1 = self._constrain(
+            self.param("w1", nn.initializers.lecun_normal(),
+                       (e, d, ff), jnp.float32), self.expert_axis)
+        b1 = self._constrain(
+            self.param("b1", nn.initializers.zeros, (e, ff),
+                       jnp.float32), self.expert_axis)
+        w2 = self._constrain(
+            self.param("w2", nn.initializers.lecun_normal(),
+                       (e, ff, d), jnp.float32), self.expert_axis)
+        b2 = self._constrain(
+            self.param("b2", nn.initializers.zeros, (e, d),
+                       jnp.float32), self.expert_axis)
 
         cd = self.dtype
         xin = jnp.einsum("nec,nd->ecd", dispatch.astype(cd),
@@ -141,3 +155,25 @@ class MoEFFN(nn.Module):
         out_e = self._constrain(out_e, self.expert_axis)
         out = jnp.einsum("nec,ecd->nd", combine.astype(cd), out_e)
         return out.reshape(b, t, d)
+
+
+def expert_shardings(params, mesh, expert_axis: str = "expert"):
+    """NamedSharding tree placing MoE expert tensors (leaves under an
+    ``MoEFFN`` scope — named ``moe`` in FactModel — with a leading E
+    dim: w1/b1/w2/b2) over the expert axis, everything else
+    replicated. ``jax.device_put(params, expert_shardings(...))``
+    before training gives true 1/ep-per-chip expert weight memory; the
+    in-module constraints then keep them sharded through the step."""
+    import jax.tree_util as jtu
+
+    expert_leaves = {"w1", "b1", "w2", "b2"}
+
+    def spec(path, leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        # w1/b1/w2/b2 are MoEFFN-specific names (flax Dense uses
+        # kernel/bias), so the leaf name alone identifies expert params
+        if keys and keys[-1] in expert_leaves:
+            return NamedSharding(mesh, P(expert_axis))
+        return NamedSharding(mesh, P())
+
+    return jtu.tree_map_with_path(spec, params)

@@ -41,8 +41,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax ≥ 0.6 exposes shard_map at top level
     from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover - older jax spells the
+    # replication-check kwarg check_rep, so translate our check_vma
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    def shard_map(*args, check_vma=True, **kwargs):
+        return _legacy_shard_map(*args, check_rep=check_vma, **kwargs)
 
 
 def stack_layer_params(params: dict, names: list[str]):

@@ -40,8 +40,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax ≥ 0.6 exposes shard_map at top level
     from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover - older jax spells the
+    # replication-check kwarg check_rep, so translate our check_vma
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    def shard_map(*args, check_vma=True, **kwargs):
+        return _legacy_shard_map(*args, check_rep=check_vma, **kwargs)
 
 NEG = jnp.float32(-1e9)  # finite "-inf": keeps grads NaN-free
 

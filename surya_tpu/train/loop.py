@@ -278,8 +278,18 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
         eval_step = make_eval_step(model, cfg.model.num_classes,
                                    cfg.train.label_smoothing)
 
-        ckpt = (CheckpointManager(cfg.train.checkpoint_dir)
-                if checkpoints else None)
+        if checkpoints:
+            # metric-aware retention: keep the best-k by the configured
+            # checkpoint metric, so forced preempt snapshots can't
+            # evict the best epoch's weights
+            _mkey = ("val_loss" if "loss" in cfg.train.checkpoint_metric
+                     else "val_accuracy")
+            ckpt = CheckpointManager(
+                cfg.train.checkpoint_dir,
+                best_fn=lambda m: m[_mkey],
+                best_mode="min" if _mkey == "val_loss" else "max")
+        else:
+            ckpt = None
 
         # Preemption notice (SIGTERM on TPU VMs): the wrapper's handler
         # sets preempt["flag"], checked at step boundaries — the
@@ -292,6 +302,19 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
             """Snapshot the full current state + loop trackers so a
             resume=True rerun continues from epoch+1."""
             if ckpt is not None:
+                # GC the previous cycle's snapshot (metric-less saves
+                # are never auto-pruned) unless it IS the best epoch
+                if os.path.exists(loop_state_path):
+                    try:
+                        with open(loop_state_path) as f:
+                            prev = json.load(f)
+                        pe = prev.get("epoch")
+                        if (prev.get("preempt") and pe is not None
+                                and pe != epoch
+                                and pe != saver.best_epoch):
+                            ckpt.delete(pe)
+                    except Exception:
+                        pass
                 ckpt.save(epoch, host_copy(state), force=True)
                 with open(loop_state_path, "w") as f:
                     json.dump({"epoch": epoch, "step_count": step_count,

@@ -132,6 +132,36 @@ def test_preempt_after_best_keeps_best_weights(tmp_path, mesh8):
     assert s2["state"] is not None
 
 
+def test_best_survives_repeated_preemptions(tmp_path, mesh8):
+    """Metric-aware retention: repeated preempt/resume cycles with no
+    new best must never evict the best epoch's checkpoint (regression:
+    latest-k retention dropped it after max_to_keep force-saves), and
+    stale metric-less snapshots are GC'd instead of accumulating."""
+    data = SigtermAfter(_data(), kill_epoch=1, after_batches=1)
+    cfg = _cfg(tmp_path, 8)
+    s1 = train_and_evaluate(cfg, data, mesh=mesh8,
+                            logger=MetricsLogger(echo=False),
+                            checkpoints=True)
+    assert s1["preempted"] is True
+    assert s1["checkpoint_best_epoch"] == 0
+
+    for _ in range(3):  # three more cycles, each dying mid-epoch
+        d = SigtermAfter(_data(), kill_epoch=0, after_batches=1)
+        s = train_and_evaluate(_cfg(tmp_path, 8), d, mesh=mesh8,
+                               logger=MetricsLogger(echo=False),
+                               checkpoints=True, resume=True)
+        assert s["preempted"] is True
+
+    from surya_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    steps = mgr.all_steps()
+    mgr.close()
+    assert 0 in steps, f"best epoch evicted: {steps}"
+    # best + the latest snapshot (older snapshots GC'd per cycle)
+    assert len(steps) <= 3, f"stale snapshots accumulated: {steps}"
+
+
 def test_preempt_save_disabled(tmp_path, mesh8):
     """preempt_save=False leaves SIGTERM disposition untouched."""
     cfg = _cfg(tmp_path, 1)
