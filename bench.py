@@ -29,8 +29,35 @@ def _timed(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
+def _watchdog(seconds: float):
+    """The axon TPU tunnel can wedge so hard that jax.devices() never
+    returns; without this the driver's bench run records nothing. A
+    daemon timer prints an honest error JSON line and hard-exits if
+    backend init doesn't finish in time. Cancel by calling the
+    returned function."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "quadtree_train_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {seconds:.0f}s "
+                     "(axon tunnel unreachable) — see BENCH_NOTES.md "
+                     "for the last good measurement"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main() -> None:
+    cancel = _watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
     import jax
+
+    jax.devices()  # forces backend init under the watchdog
+    cancel()
 
     from surya_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
     from surya_tpu.core.mesh import create_mesh, replicate, shard_batch
