@@ -49,6 +49,31 @@ def test_u2netp_torch_flax_equivalence():
         assert err < 2e-4, err
 
 
+def test_u2net_full_torch_flax_equivalence():
+    """Full 'u2net' channel spec (the onnx rembg defaults to) through
+    the same importer."""
+    import torch
+
+    from surya_tpu.models.segmentation import U2Net, import_u2net
+    from tests.torch_mirrors import MirrorU2Net, randomize_bn_stats
+
+    torch.manual_seed(3)
+    tm = MirrorU2Net()
+    randomize_bn_stats(tm, seed=4)
+    tm.eval()
+    variables = import_u2net(tm.state_dict(), variant="u2net")
+    model = U2Net(variant="u2net")
+
+    x = np.random.default_rng(5).normal(
+        size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        touts = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    fused, sides = model.apply(variables, x, train=False)
+    for t, j in zip(touts, [fused] + sides, strict=True):
+        err = _tree_max_err(t.numpy().transpose(0, 2, 3, 1), j)
+        assert err < 5e-4, err
+
+
 def test_u2net_full_variant_shapes_and_probabilities():
     import jax
     import jax.numpy as jnp

@@ -633,27 +633,7 @@ class U2RSU4F(nn.Module):
         return hxin + hx1d
 
 
-class MirrorU2NetP(nn.Module):
-    """U2NETP: every stage mid=16 out=64."""
-
-    def __init__(self):
-        super().__init__()
-        self.stage1 = U2RSU(7, 3, 16, 64)
-        self.stage2 = U2RSU(6, 64, 16, 64)
-        self.stage3 = U2RSU(5, 64, 16, 64)
-        self.stage4 = U2RSU(4, 64, 16, 64)
-        self.stage5 = U2RSU4F(64, 16, 64)
-        self.stage6 = U2RSU4F(64, 16, 64)
-        self.pool = nn.MaxPool2d(2, stride=2, ceil_mode=True)
-        self.stage5d = U2RSU4F(128, 16, 64)
-        self.stage4d = U2RSU(4, 128, 16, 64)
-        self.stage3d = U2RSU(5, 128, 16, 64)
-        self.stage2d = U2RSU(6, 128, 16, 64)
-        self.stage1d = U2RSU(7, 128, 16, 64)
-        for i in range(1, 7):
-            setattr(self, f"side{i}", nn.Conv2d(64, 1, 3, padding=1))
-        self.outconv = nn.Conv2d(6, 1, 1)
-
+class _MirrorU2NetBase(nn.Module):
     def forward(self, x):
         hx1 = self.stage1(x)
         hx2 = self.stage2(self.pool(hx1))
@@ -679,3 +659,47 @@ class MirrorU2NetP(nn.Module):
         d6 = _u2_upsample_like(self.side6(hx6), d1)
         d0 = self.outconv(torch.cat((d1, d2, d3, d4, d5, d6), 1))
         return [torch.sigmoid(d) for d in (d0, d1, d2, d3, d4, d5, d6)]
+
+
+class MirrorU2NetP(_MirrorU2NetBase):
+    """U2NETP: every stage mid=16 out=64."""
+
+    def __init__(self):
+        super().__init__()
+        self.stage1 = U2RSU(7, 3, 16, 64)
+        self.stage2 = U2RSU(6, 64, 16, 64)
+        self.stage3 = U2RSU(5, 64, 16, 64)
+        self.stage4 = U2RSU(4, 64, 16, 64)
+        self.stage5 = U2RSU4F(64, 16, 64)
+        self.stage6 = U2RSU4F(64, 16, 64)
+        self.pool = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+        self.stage5d = U2RSU4F(128, 16, 64)
+        self.stage4d = U2RSU(4, 128, 16, 64)
+        self.stage3d = U2RSU(5, 128, 16, 64)
+        self.stage2d = U2RSU(6, 128, 16, 64)
+        self.stage1d = U2RSU(7, 128, 16, 64)
+        for i in range(1, 7):
+            setattr(self, f"side{i}", nn.Conv2d(64, 1, 3, padding=1))
+        self.outconv = nn.Conv2d(6, 1, 1)
+
+
+class MirrorU2Net(_MirrorU2NetBase):
+    """Full U2NET channel spec (the 'u2net' onnx rembg defaults to)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stage1 = U2RSU(7, 3, 32, 64)
+        self.stage2 = U2RSU(6, 64, 32, 128)
+        self.stage3 = U2RSU(5, 128, 64, 256)
+        self.stage4 = U2RSU(4, 256, 128, 512)
+        self.stage5 = U2RSU4F(512, 256, 512)
+        self.stage6 = U2RSU4F(512, 256, 512)
+        self.pool = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+        self.stage5d = U2RSU4F(1024, 256, 512)
+        self.stage4d = U2RSU(4, 1024, 128, 256)
+        self.stage3d = U2RSU(5, 512, 64, 128)
+        self.stage2d = U2RSU(6, 256, 32, 64)
+        self.stage1d = U2RSU(7, 128, 16, 64)
+        for i, c in zip(range(1, 7), (64, 64, 128, 256, 512, 512)):
+            setattr(self, f"side{i}", nn.Conv2d(c, 1, 3, padding=1))
+        self.outconv = nn.Conv2d(6, 1, 1)
