@@ -136,13 +136,19 @@ def color_jitter(key, images, brightness=0.2, contrast=0.2,
         mean = gray.mean(axis=(1, 2)).reshape(b, 1, 1, 1)
         images = (images - mean) * f + mean
     images = jnp.clip(images, 0.0, 1.0)
-    if saturation > 0 or hue > 0:
-        hsv = _rgb_to_hsv(images)
-        fs = jax.random.uniform(ks, (b, 1, 1), minval=1 - saturation,
+    if saturation > 0:
+        # torchvision adjust_saturation: blend with the grayscale image
+        # (NOT an HSV S-multiply — e.g. a pure-red pixel is invariant
+        # under the S-multiply but shifts under the blend)
+        fs = jax.random.uniform(ks, shape, minval=1 - saturation,
                                 maxval=1 + saturation)
+        gray = (0.2989 * images[..., 0] + 0.587 * images[..., 1]
+                + 0.114 * images[..., 2])[..., None]
+        images = jnp.clip(gray + (images - gray) * fs, 0.0, 1.0)
+    if hue > 0:
+        hsv = _rgb_to_hsv(images)
         fh = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
-        hsv = jnp.stack([(hsv[..., 0] + fh) % 1.0,
-                         jnp.clip(hsv[..., 1] * fs, 0, 1),
+        hsv = jnp.stack([(hsv[..., 0] + fh) % 1.0, hsv[..., 1],
                          hsv[..., 2]], axis=-1)
         images = _hsv_to_rgb(hsv)
     return jnp.clip(images, 0.0, 1.0)

@@ -62,11 +62,12 @@ def mediapipe_extractor(model_complexity: int = 2,
         enable_segmentation=False,
         min_detection_confidence=min_detection_confidence)
 
-    def extract(image_path: str):
-        img = cv2.imread(image_path)
-        if img is None:
-            return np.zeros((33, 4), np.float32), False
-        res = pose.process(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    def process_array(img_bgr):
+        """In-memory BGR frame → (landmarks, detected). Used by the
+        video loop (infer/video.py) to skip the encode/decode round
+        trip a path-based call would need (the reference feeds frames
+        straight to POSE.process, ``test_on_video_cnn.py:282-283``)."""
+        res = pose.process(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB))
         if not res.pose_landmarks:
             return np.zeros((33, 4), np.float32), False
         lm = np.asarray([[p.x, p.y, p.z, p.visibility]
@@ -74,6 +75,13 @@ def mediapipe_extractor(model_complexity: int = 2,
                         np.float32)
         return lm, True
 
+    def extract(image_path: str):
+        img = cv2.imread(image_path)
+        if img is None:
+            return np.zeros((33, 4), np.float32), False
+        return process_array(img)
+
+    extract.process_array = process_array
     return extract
 
 

@@ -89,6 +89,10 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
     if output_path:
         writer = cv2.VideoWriter(
             output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not writer.isOpened():  # ref guards this (:239-241)
+            raise RuntimeError(
+                f"cv2.VideoWriter failed to open {output_path!r} "
+                "(codec mp4v unavailable or path unwritable)")
 
     import tempfile
 
@@ -169,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
     import argparse
     import json
 
-    from surya_tpu.core.checkpoint import load_params
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
 
     ap = argparse.ArgumentParser(prog="surya_tpu video")
     ap.add_argument("params_path")
@@ -186,7 +190,9 @@ def main(argv: list[str] | None = None) -> int:
         class_names = json.load(f)
     cfg = ModelConfig(name=args.model, mode=args.mode,
                       num_classes=len(class_names))
-    variables = load_params(args.params_path)
+    # accepts a CheckpointManager dir, a save_params full-variables
+    # tree, or a bare params tree — same contract as every other CLI
+    variables = load_checkpoint_variables(args.params_path)
     recs = run_video_inference(cfg, variables, args.video, class_names,
                                output_path=args.out,
                                display=args.display)

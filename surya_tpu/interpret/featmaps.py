@@ -67,10 +67,18 @@ def plot_hierarchy(maps: dict, sample: int = 0, out_path: str | None
     axes[1].set_title("level-1 quadrants")
 
     l2 = maps["level2"][sample]          # (16, 7, 7)
-    rows = [np.concatenate(list(l2[r * 4:(r + 1) * 4]), axis=1)
-            for r in range(4)]
-    grid2 = np.concatenate(rows, axis=0)
+    # index q1*4+q2 (q1 = quadrant raster, q2 = sub-quadrant raster
+    # within q1) → spatial cell (row, col) so the panel lines up with
+    # the base/level-1 panels
+    cells = np.empty((4, 4), object)
+    for q1 in range(4):
+        for q2 in range(4):
+            cells[(q1 // 2) * 2 + q2 // 2,
+                  (q1 % 2) * 2 + q2 % 2] = l2[q1 * 4 + q2]
+    grid2 = np.block(cells.tolist())
     axes[2].imshow(grid2, cmap="viridis")
+    axes[2].axhline(grid2.shape[0] / 2 - 0.5, color="w", lw=1)
+    axes[2].axvline(grid2.shape[1] / 2 - 0.5, color="w", lw=1)
     axes[2].set_title("level-2 sub-quadrants")
     for ax in axes:
         ax.set_xticks([])

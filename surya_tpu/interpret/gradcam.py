@@ -350,12 +350,15 @@ def save_batch_grad_cam(cfg: ModelConfig, variables, batches,
 
     if cfg.mode == "numerical_only":
         raise ValueError("grad-cam is undefined for numerical_only mode")
+    # one compiled program per batch shape — eager per-op dispatch is
+    # orders of magnitude slower through the tunnel (CLAUDE.md)
+    fn = jax.jit(lambda imgs, fts: grad_cam(cfg, variables, imgs, fts,
+                                            target_layer))
     n = 0
     for batch in batches:
         images, feats, labels = batch[:3]
         display = batch[3] if len(batch) > 3 else images
-        cams, preds, _ = (np.asarray(x) for x in grad_cam(
-            cfg, variables, images, feats, target_layer))
+        cams, preds, _ = (np.asarray(x) for x in fn(images, feats))
         for i in range(len(labels)):
             if int(labels[i]) < 0:
                 continue  # sentinel pad row (multi-chip eval padding)

@@ -26,8 +26,6 @@ def evaluate_checkpoint(cfg: Config, variables, data,
                         split: str = "valid", mesh=None) -> dict:
     """Evaluate one model's variables on a data source split."""
     mesh = mesh or create_mesh()
-    model = get_model(cfg.model)
-    del model  # built inside make_eval_step path below
     eval_step = make_eval_step(get_model(cfg.model),
                                cfg.model.num_classes,
                                cfg.train.label_smoothing)
@@ -41,6 +39,11 @@ def evaluate_checkpoint(cfg: Config, variables, data,
     # confusion matrix (analysis.py:96 computes it over raw preds; the
     # cm reconstruction is exact for label/pred pairs).
     cm = out["confusion"]
+    if cm is None:  # empty split: evaluate() returns zeroed metrics
+        out["confusion"] = np.zeros(
+            (cfg.model.num_classes, cfg.model.num_classes), np.int32)
+        out["r2"] = 0.0
+        return out
     labels, preds = [], []
     for i in range(cm.shape[0]):
         for j in range(cm.shape[1]):
