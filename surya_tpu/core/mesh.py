@@ -50,7 +50,18 @@ def maybe_initialize_distributed() -> None:
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    # Idempotency must be checked WITHOUT touching the XLA backend:
+    # jax.process_count() initializes it, after which
+    # jax.distributed.initialize() unconditionally raises — so consult
+    # the distributed client state instead.
+    try:
+        from jax._src.distributed import global_state
+        already = global_state.client is not None
+    except Exception:  # private API moved: assume not initialized
+        already = False
+    if not already:
         jax.distributed.initialize()
 
 

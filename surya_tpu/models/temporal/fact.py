@@ -120,8 +120,10 @@ class FactModel(nn.Module):
                                   param_dtype=jnp.float32)
         self.num_proj2 = nn.Dense(d, dtype=self.dtype,
                                   param_dtype=jnp.float32)
+        # stddev 1.0: the reference's nn.Embedding(2, d) default init is
+        # N(0,1) (VIT/fact_model.py:89), same scale as cls/pos below
         self.token_type_embed = self.param(
-            "token_type_embed", nn.initializers.normal(stddev=0.02),
+            "token_type_embed", nn.initializers.normal(stddev=1.0),
             (2, d), jnp.float32)
         self.cls_token = self.param(
             "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, d),
@@ -246,6 +248,11 @@ def fact_apply_pipelined(model: FactModel, variables, image_sequence,
                                dropout=model.dropout, dtype=model.dtype)
 
     rng = (rngs or {}).get("dropout") if train else None
+    if train and model.dropout > 0 and rng is None:
+        # match model.apply's contract: training with dropout but no
+        # rng must error, not silently run the encoder in eval mode
+        raise ValueError(
+            "fact_apply_pipelined(train=True) needs rngs={'dropout': key}")
     if rng is not None:
         def layer_fn(p, x, key):
             return layer.apply({"params": p}, x, train=True,

@@ -17,6 +17,7 @@ import time
 from typing import Iterable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from surya_tpu.core.checkpoint import CheckpointManager, host_copy
@@ -122,12 +123,13 @@ def evaluate(eval_step, params, batch_stats, batches: Iterable,
         if transform is not None:
             batch = transform(batch)
         out = eval_step(params, batch_stats, batch)
-        if totals is None:
-            totals = jax.tree.map(np.asarray, jax.device_get(out))
-        else:
-            out = jax.device_get(out)
-            totals = jax.tree.map(lambda a, b: a + np.asarray(b),
-                                  totals, out)
+        # accumulate ON DEVICE: a per-batch device_get would pay one
+        # blocking tunnel RPC per batch (CLAUDE.md: 1-85 s each);
+        # jnp.add just enqueues and we fetch once after the loop
+        totals = (out if totals is None
+                  else jax.tree.map(jnp.add, totals, out))
+    if totals is not None:
+        totals = jax.tree.map(np.asarray, jax.device_get(totals))
     if totals is None:
         # empty split: zeroed metrics with every key callers index
         return {"loss": float("nan"), "accuracy": 0.0, "precision": 0.0,
@@ -371,8 +373,14 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                     profile_dir = None
                 _preempt_checkpoint(epoch)
                 break
-            train_loss = float(np.mean(jax.device_get(losses)))
-            train_acc = float(np.mean(jax.device_get(accs)))
+            # exclude nan-guard-skipped steps from the epoch averages
+            # (the reference `continue`s past them, 3dcnn train :127-129
+            # — one bad step must not turn train_loss into NaN)
+            lv = np.asarray(jax.device_get(losses), np.float64)
+            av = np.asarray(jax.device_get(accs), np.float64)
+            ok = np.isfinite(lv)
+            train_loss = float(lv[ok].mean()) if ok.any() else float("nan")
+            train_acc = float(av[ok].mean()) if ok.any() else 0.0
 
             eval_tf = (None if not hasattr(data, "device_transform") else
                        (lambda b: data.device_transform("valid", None, b)))
