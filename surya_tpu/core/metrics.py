@@ -19,9 +19,15 @@ import numpy as np
 
 def confusion_matrix(labels: jnp.ndarray, preds: jnp.ndarray,
                      num_classes: int) -> jnp.ndarray:
-    """(B,), (B,) int → (C, C) counts; rows = true class, cols = predicted."""
+    """(B,), (B,) int → (C, C) counts; rows = true class, cols = predicted.
+
+    Negative entries (the repo's -1 eval-padding sentinel) are dropped —
+    jnp's negative-index scatter would otherwise silently wrap them
+    into the last class."""
+    valid = ((labels >= 0) & (preds >= 0)).astype(jnp.int32)
     cm = jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
-    return cm.at[labels, preds].add(1)
+    return cm.at[jnp.where(valid, labels, 0),
+                 jnp.where(valid, preds, 0)].add(valid)
 
 
 def accuracy(labels: jnp.ndarray, preds: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +64,10 @@ def r2_score(labels: jnp.ndarray, preds: jnp.ndarray) -> jnp.ndarray:
     preds = preds.astype(jnp.float32)
     ss_res = jnp.sum((labels - preds) ** 2)
     ss_tot = jnp.sum((labels - labels.mean()) ** 2)
-    return 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12)
+    # constant labels: sklearn returns 1.0 for a perfect fit, 0.0
+    # otherwise (not -ss_res/eps)
+    return jnp.where(ss_tot > 0, 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12),
+                     jnp.where(ss_res > 0, 0.0, 1.0))
 
 
 class MetricsLogger:

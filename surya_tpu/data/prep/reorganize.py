@@ -23,9 +23,17 @@ def reorganize_to_flat(seq_root: str, out_root: str) -> dict:
     del metadata  # informational only; layout walk below is the source
 
     counts: dict[str, int] = {}
-    for split in ("train", "valid", "test"):
-        split_dir = os.path.join(seq_root, split)
-        if not os.path.isdir(split_dir):
+    # the reference sequence builder names the split 'val'
+    # (create_sequential_dataset.py split_name_map); accept both and
+    # emit the flat layout's 'valid'
+    for out_split, src_names in (("train", ("train",)),
+                                 ("valid", ("valid", "val")),
+                                 ("test", ("test",))):
+        split = out_split
+        split_dir = next(
+            (d for d in (os.path.join(seq_root, s) for s in src_names)
+             if os.path.isdir(d)), None)
+        if split_dir is None:
             continue
         n = 0
         for cls in sorted(os.listdir(split_dir)):

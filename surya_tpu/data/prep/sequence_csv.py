@@ -65,8 +65,9 @@ def create_dataset_sequences(processed_root: str, renamed_root: str,
             if not (os.path.exists(feat_csv) and os.path.exists(map_csv)):
                 continue
 
-            frame_map = {r["new_filename"]: r["original_filename"]
-                         for r in _read_csv(map_csv)}
+            from surya_tpu.data.prep.frame_renaming import load_frame_map
+
+            frame_map = load_frame_map(os.path.dirname(map_csv), clip)
             rows = []
             for r in _read_csv(feat_csv):
                 original = frame_map.get(r["original_image_filename"])

@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from surya_tpu.data.prep.frame_renaming import load_frame_map
+from surya_tpu.data.prep.frame_renaming import IMG_EXTS
 from surya_tpu.features.pose_extended import (
     FEATURE_NAMES_EXTENDED,
     extract_features_extended,
@@ -73,29 +73,38 @@ def process_image_sequences(renamed_root: str, out_root: str,
             clip_dir = os.path.join(split_dir, clip)
             if not os.path.isdir(clip_dir):
                 continue
-            try:
-                frame_map = load_frame_map(clip_dir, clip)
-            except FileNotFoundError:
-                continue
+            if not os.path.exists(os.path.join(
+                    clip_dir, f"{clip}_frame_map.csv")):
+                continue  # only renamed clips have frame maps
             frames = sorted(f for f in os.listdir(clip_dir)
-                            if f.lower().endswith((".jpg", ".png")))
+                            if f.lower().endswith(IMG_EXTS))
             if not frames:
                 continue
 
             lms = np.zeros((len(frames), 33, 4), np.float32)
-            wh = image_size
+            det = np.zeros((len(frames),), bool)
+            # per-frame sizes: the reference reads h, w from every
+            # frame (processing_image_sequence.py:386) — mixed-size
+            # clips must not inherit the first frame's dims
+            ws = np.empty((len(frames),), np.float32)
+            hs = np.empty((len(frames),), np.float32)
             for i, fname in enumerate(frames):
                 path = os.path.join(clip_dir, fname)
-                lms[i], _ = extractor(path)
-                if wh is None:
+                lms[i], det[i] = extractor(path)
+                if image_size is not None:
+                    ws[i], hs[i] = image_size
+                else:
                     from PIL import Image
 
                     with Image.open(path) as im:
-                        wh = im.size
-            w, h = wh
+                        ws[i], hs[i] = im.size
 
-            feats = np.asarray(extract_features_extended(
-                jnp.asarray(lms), float(w), float(h)))
+            feats = np.array(extract_features_extended(  # copy: writable
+                jnp.asarray(lms), jnp.asarray(ws), jnp.asarray(hs)))
+            # no-pose frames: all features NaN, like the reference's
+            # all-NaN row (processing_image_sequence.py:419-431) — zero
+            # landmarks are NOT valid measurements
+            feats[~det] = np.nan
 
             csv_path = os.path.join(out_split, f"{clip}_features.csv")
             with open(csv_path, "w", newline="") as f:
@@ -121,7 +130,6 @@ def process_image_sequences(renamed_root: str, out_root: str,
                     cv2.imwrite(os.path.join(ann_dir,
                                              f"{stem}_annotated.jpg"),
                                 _annotate(img, lms[i]))
-            del frame_map
             report[split][clip] = len(frames)
     return report
 

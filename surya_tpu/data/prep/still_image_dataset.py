@@ -109,8 +109,12 @@ def prepare_still_image_dataset(
     ``feature_set='extended'`` saves the 443-feature extended vectors
     instead (parity with ``img process/analyze_flat_image_counts.py``,
     whose flat prep keeps inter-frame velocity state per clip —
-    naturally covered here because features are computed over the whole
-    clip sequence at once).
+    computed here over the whole clip sequence at once). Caveat: the
+    dynamics are computed over the LABELED frames only, so a gap in
+    label coverage makes the velocity at the frame after the gap span
+    the gap (a multi-frame displacement reported as one step) — same
+    as the reference, which also only processes labeled frames, but
+    worth knowing when labels are sparse.
     """
     if feature_set not in ("47", "extended"):
         raise ValueError("feature_set must be '47' or 'extended'")

@@ -72,16 +72,24 @@ assert NUM_FEATURES_EXTENDED == 443, NUM_FEATURES_EXTENDED
 _NAN = jnp.float32(jnp.nan)
 
 
-def extract_features_extended(landmarks: jnp.ndarray, img_width: float,
-                              img_height: float) -> jnp.ndarray:
-    """(…, T, 33, 4) normalized landmarks → (…, T, 443) features."""
+def extract_features_extended(landmarks: jnp.ndarray, img_width,
+                              img_height) -> jnp.ndarray:
+    """(…, T, 33, 4) normalized landmarks → (…, T, 443) features.
+
+    ``img_width``/``img_height`` may be scalars or per-frame arrays of
+    shape ``landmarks.shape[:-2]`` (the reference reads h, w from each
+    frame, ``processing_image_sequence.py:386`` — mixed-size clips need
+    per-frame sizes for correct pixel coordinates)."""
     xyz = landmarks[..., :3]
     vis = landmarks[..., 3]
     visible = vis > VIS
 
+    img_width = jnp.asarray(img_width, jnp.float32)
+    img_height = jnp.asarray(img_height, jnp.float32)
     # Pixel coords: (x·W, y·H, z·W) (``:57-68``).
-    px = jnp.stack([xyz[..., 0] * img_width, xyz[..., 1] * img_height,
-                    xyz[..., 2] * img_width], axis=-1)
+    whw = jnp.stack(jnp.broadcast_arrays(img_width, img_height,
+                                         img_width), axis=-1)
+    px = xyz * whw[..., None, :]
 
     feats = []
 
@@ -97,8 +105,13 @@ def extract_features_extended(landmarks: jnp.ndarray, img_width: float,
     for _, (a, b, c) in ANGLES_EXTENDED:
         ba = p(a) - p(b)
         bc = p(c) - p(b)
-        cos = jnp.sum(ba * bc, axis=-1) / (
-            jnp.linalg.norm(ba, axis=-1) * jnp.linalg.norm(bc, axis=-1))
+        nprod = (jnp.linalg.norm(ba, axis=-1)
+                 * jnp.linalg.norm(bc, axis=-1))
+        # degenerate zero-length vector → angle 0.0, matching the
+        # reference's explicit guard (processing_image_sequence.py:88-89)
+        cos = jnp.where(nprod > 0,
+                        jnp.sum(ba * bc, axis=-1)
+                        / jnp.maximum(nprod, 1e-12), 1.0)
         ang = jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
         ok = visible[..., a] & visible[..., b] & visible[..., c]
         feats.append(jnp.where(ok, ang, _NAN))
