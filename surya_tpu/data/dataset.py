@@ -107,6 +107,15 @@ class DiskDataSource:
                 f"no train split under {cfg.data_root}")
         self.class_names = self.index["train"][3]
         self.num_classes = len(self.class_names)
+        # every split's class scan must agree with train's: labels are
+        # indices into the split's OWN sorted dirs, so a missing/extra
+        # class dir silently shifts every later label
+        for s, (_, _, _, names) in self.index.items():
+            if list(names) != list(self.class_names):
+                raise ValueError(
+                    f"split {s!r} class dirs {list(names)} != train's "
+                    f"{list(self.class_names)}; eval labels would be "
+                    "misaligned (create empty dirs for absent classes)")
 
         if stats is None:
             means = os.path.join(cfg.data_root, "class_feature_means.json")
@@ -114,6 +123,8 @@ class DiskDataSource:
             if os.path.exists(means):
                 stats = ClassFeatureStats.from_json(
                     means, stds if os.path.exists(stds) else None)
+        if stats is not None:
+            stats = stats.aligned_to(self.class_names)
         self.stats = stats
 
     # -- host batching ----------------------------------------------------
@@ -128,7 +139,12 @@ class DiskDataSource:
             from surya_tpu import native
 
             if native.available():
-                imgs, _ = native.decode_batch(batch_paths, self.staging)
+                imgs, n_ok = native.decode_batch(batch_paths,
+                                                 self.staging)
+                if n_ok != len(batch_paths):
+                    # don't silently train on zero-filled frames: the
+                    # PIL path below raises with the bad file's name
+                    imgs = None
         if imgs is None:
             imgs = np.empty((len(idx), self.staging, self.staging, 3),
                             np.uint8)
@@ -141,27 +157,46 @@ class DiskDataSource:
 
     def _batches(self, split: str, order: np.ndarray,
                  bs: int) -> Iterator[tuple]:
-        """Threaded double-buffered batch producer."""
+        """Threaded double-buffered batch producer.
+
+        Abandoning the iterator early (preempt break, consumer error)
+        unblocks the producer via the stop event — otherwise the
+        thread would sit on a full queue forever, pinning up to
+        ``prefetch`` decoded batches."""
         chunks = [order[i:i + bs] for i in range(0, len(order), bs)]
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for ch in chunks:
-                    q.put(self._load_batch(split, ch))
-                q.put(None)
+                    if not put(self._load_batch(split, ch)):
+                        return
+                put(None)
             except BaseException as e:  # surface, don't deadlock
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def train_batches(self, epoch_seed: int = 0) -> Iterator[tuple]:
         from surya_tpu.data.batching import epoch_order

@@ -59,6 +59,30 @@ class ClassFeatureStats:
                 stds = table(json.load(f))
         return cls(means, stds, class_names, feature_names)
 
+    def aligned_to(self, class_names) -> "ClassFeatureStats":
+        """Reorder the stat rows to a dataset's class order.
+
+        The JSON artifacts are keyed by name; nothing guarantees their
+        sorted order matches the dataset's directory scan (extra or
+        pruned classes shift every later index) — indexing by label
+        without this check silently imputes with the WRONG class's
+        means."""
+        wanted = list(class_names)
+        if wanted == self.class_names:
+            return self
+        try:
+            idx = [self.class_names.index(c) for c in wanted]
+        except ValueError:
+            missing = sorted(set(wanted) - set(self.class_names))
+            raise ValueError(
+                f"feature stats cover classes {self.class_names} but "
+                f"the dataset has {wanted} (missing {missing}); "
+                "regenerate class_feature_means.json")
+        return ClassFeatureStats(
+            np.asarray(self.means)[idx],
+            np.asarray(self.stds)[idx] if self.stds is not None else None,
+            wanted, self.feature_names)
+
     def impute(self, features: jnp.ndarray,
                labels: jnp.ndarray) -> jnp.ndarray:
         """NaN → per-class mean (then any still-NaN → 0, matching the

@@ -191,6 +191,8 @@ class PackedDataSource(DiskDataSource):
             if os.path.exists(means):
                 stats = ClassFeatureStats.from_json(
                     means, stds if os.path.exists(stds) else None)
+        if stats is not None:
+            stats = stats.aligned_to(self.class_names)
         self.stats = stats
 
     def _load_batch(self, split: str, idx: np.ndarray):
@@ -326,6 +328,8 @@ class PackedSequenceSource:
             if os.path.exists(means):
                 stats = ClassFeatureStats.from_json(
                     means, stds if os.path.exists(stds) else None)
+        if stats is not None:
+            stats = stats.aligned_to(self.class_names)
         self.stats = stats
 
         self._images, self._feats, self._labels = {}, {}, {}

@@ -162,6 +162,10 @@ class SequenceDataSource:
         self.class_names = sorted(self.class_to_idx,
                                   key=self.class_to_idx.get)
         self.num_classes = len(self.class_names)
+        if self.stats is not None:
+            # stats rows must follow class_to_idx's label order, not
+            # the JSON's sorted keys (see ClassFeatureStats.aligned_to)
+            self.stats = self.stats.aligned_to(self.class_names)
         self.index = {}
         for s in splits:
             sdir = os.path.join(root, s)

@@ -40,8 +40,9 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        src_mtime = (os.path.getmtime(_SRC) if os.path.exists(_SRC)
+                     else 0.0)  # source stripped post-build: keep .so
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 _failed = True
                 return None

@@ -111,13 +111,24 @@ bool decode_one(const char* path, int out_size, unsigned char* out) {
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
-  if (cinfo.output_components != 3 || w <= 0 || h <= 0) {
+  // Cap the decode buffer (~100 MP ≈ 300 MB RGB): a crafted header can
+  // declare 65535x65535, and a bad_alloc from resize() inside a worker
+  // thread would std::terminate the whole process.
+  if (cinfo.output_components != 3 || w <= 0 || h <= 0 ||
+      static_cast<size_t>(w) * h > 100000000ull) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
     return false;
   }
-  pixels.resize(static_cast<size_t>(w) * h * 3);
+  try {
+    pixels.resize(static_cast<size_t>(w) * h * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = pixels.data()
         + static_cast<size_t>(cinfo.output_scanline) * w * 3;
@@ -147,7 +158,15 @@ extern "C" int surya_decode_batch(const char** paths, int n,
       int i = next.fetch_add(1);
       if (i >= n) break;
       unsigned char* slot = out + stride * i;
-      if (decode_one(paths[i], out_size, slot)) {
+      bool good = false;
+      try {
+        good = decode_one(paths[i], out_size, slot);
+      } catch (...) {
+        // an exception escaping a std::thread calls std::terminate —
+        // uphold the zero-filled-failure contract instead
+        good = false;
+      }
+      if (good) {
         ok.fetch_add(1);
       } else {
         std::memset(slot, 0, stride);

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from surya_tpu.ops.pallas import on_tpu
+
 
 def _dropout_threshold(rate: float) -> int:
     """uint32 threshold t: keep iff bits >= t, so P(drop) = rate."""
@@ -43,7 +45,9 @@ def _dropout_threshold(rate: float) -> int:
 
 
 def _fusion_head_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                        o_ref, h_ref, *, rate: float):
+                        o_ref, h_ref=None, *, rate: float):
+    """h_ref is None on the pure-inference path — no backward will read
+    the activations, so skip the (B, hidden) HBM write entirely."""
     x = x_ref[:]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
@@ -52,7 +56,8 @@ def _fusion_head_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         bits = pltpu.prng_random_bits(h.shape).astype(jnp.uint32)
         keep = bits >= jnp.uint32(_dropout_threshold(rate))
         h = jnp.where(keep, h * (1.0 / (1.0 - rate)), 0.0)
-    h_ref[:] = h.astype(h_ref.dtype)
+    if h_ref is not None:
+        h_ref[:] = h.astype(h_ref.dtype)
     out = jnp.dot(h.astype(x.dtype), w2_ref[:],
                   preferred_element_type=jnp.float32)
     o_ref[:] = out + b2_ref[:].astype(jnp.float32)
@@ -79,17 +84,12 @@ def _lax_reference(x, w1, b1, w2, b2):
             + b2.astype(x.dtype)).astype(jnp.float32)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
-
-
-@partial(jax.jit, static_argnames=("rate", "block_b"))
+@partial(jax.jit, static_argnames=("rate", "block_b", "with_act"))
 def _fusion_head_impl(x, w1, b1, w2, b2, seed, rate: float = 0.0,
-                      block_b: int = 128):
-    """Returns (logits_f32 (B, C), h (B, hidden) in x.dtype)."""
+                      block_b: int = 128, with_act: bool = True):
+    """Returns (logits_f32 (B, C), h (B, hidden) in x.dtype) — or
+    (logits, None) when ``with_act=False`` (inference: the hidden
+    activations stay in VMEM, no HBM write)."""
     b, d_in = x.shape
     hidden = w1.shape[1]
     classes = w2.shape[1]
@@ -106,7 +106,10 @@ def _fusion_head_impl(x, w1, b1, w2, b2, seed, rate: float = 0.0,
         b2 = jnp.concatenate([b2, jnp.zeros((pad_c,), b2.dtype)])
     cp = classes + pad_c
 
-    out, h = pl.pallas_call(
+    act_out_specs = [pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+    act_out_shape = [jax.ShapeDtypeStruct((bp, hidden), x.dtype)]
+    res = pl.pallas_call(
         partial(_fusion_head_kernel, rate=rate),
         grid=(bp // block_b,),
         in_specs=[
@@ -126,22 +129,23 @@ def _fusion_head_impl(x, w1, b1, w2, b2, seed, rate: float = 0.0,
         out_specs=[
             pl.BlockSpec((block_b, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + (act_out_specs if with_act else []),
         out_shape=[
             jax.ShapeDtypeStruct((bp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, hidden), x.dtype),
-        ],
+        ] + (act_out_shape if with_act else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * hidden * (d_in + cp),
             bytes_accessed=2 * (bp * d_in + d_in * hidden
-                                + hidden * cp + bp * cp + bp * hidden),
+                                + hidden * cp + bp * cp
+                                + (bp * hidden if with_act else 0)),
             transcendentals=0,
         ),
     )(seed, x, w1.astype(x.dtype), b1.reshape(1, hidden),
       w2.astype(x.dtype), b2.reshape(1, cp))
-    return out[:b, :classes], h[:b]
+    if with_act:
+        out, h = res
+        return out[:b, :classes], h[:b]
+    return res[0][:b, :classes], None
 
 
 def fusion_head(x, w1, b1, w2, b2, *, rate: float = 0.0, seed=None):
@@ -159,21 +163,26 @@ def fusion_head(x, w1, b1, w2, b2, *, rate: float = 0.0, seed=None):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fusion_head_vjp(rate, x, w1, b1, w2, b2, seed):
-    if not _on_tpu():
+    if not on_tpu():
         return _lax_forward(x, w1, b1, w2, b2, seed, rate)[0]
-    return _fusion_head_impl(x, w1, b1, w2, b2, seed, rate=rate)[0]
+    # inference primal: no backward will consume h — skip its HBM write
+    return _fusion_head_impl(x, w1, b1, w2, b2, seed, rate=rate,
+                             with_act=False)[0]
 
 
 def _fwd(rate, x, w1, b1, w2, b2, seed):
-    if _on_tpu():
+    if on_tpu():
         out, h = _fusion_head_impl(x, w1, b1, w2, b2, seed, rate=rate)
     else:
         out, h = _lax_forward(x, w1, b1, w2, b2, seed, rate)
-    return out, (x, w1, w2, h)
+    # zero-size dtype carriers: bias cotangents must match the PRIMAL
+    # bias dtypes, not the kernels' (they can differ in mixed imports)
+    return out, (x, w1, w2, h, jnp.zeros((0,), b1.dtype),
+                 jnp.zeros((0,), b2.dtype))
 
 
 def _bwd(rate, res, g):
-    x, w1, w2, h = res
+    x, w1, w2, h, b1_proto, b2_proto = res
     scale = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     g16 = g.astype(x.dtype)
     # fc2 backward
@@ -189,8 +198,9 @@ def _bwd(rate, res, g):
                       preferred_element_type=jnp.float32).astype(w1.dtype)
     g_b1 = jnp.sum(g_pre.astype(jnp.float32), axis=0)
     g_x = g_pre @ w1.astype(x.dtype).T
-    return (g_x.astype(x.dtype), g_w1, g_b1.astype(w1.dtype),
-            g_w2, g_b2.astype(w2.dtype), jnp.zeros((1, 1), jnp.int32))
+    return (g_x.astype(x.dtype), g_w1, g_b1.astype(b1_proto.dtype),
+            g_w2, g_b2.astype(b2_proto.dtype),
+            jnp.zeros((1, 1), jnp.int32))
 
 
 _fusion_head_vjp.defvjp(_fwd, _bwd)

@@ -47,6 +47,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from surya_tpu.ops.pallas import on_tpu
+
 
 def _row_shift(x2d, k: int):
     """out[r] = x2d[r + k], zero-filled (k static, may be negative)."""
@@ -151,13 +153,6 @@ def _lax_reference(fmap, kernel, bias):
     return _lax_forward(fmap, kernel, bias)[0]
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
-
-
 @jax.custom_vjp
 def quadrant_process(fmap: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray) -> jnp.ndarray:
@@ -166,13 +161,13 @@ def quadrant_process(fmap: jnp.ndarray, kernel: jnp.ndarray,
     The backward consumes the saved pre-pool activation — pool-vjp +
     ReLU mask + the two transposed convs — so the forward conv is never
     recomputed (round-1 issue: the old VJP re-ran the whole lax forward)."""
-    if not _on_tpu():
+    if not on_tpu():
         return _lax_reference(fmap, kernel, bias)
     return _quadrant_process_impl(fmap, kernel, bias)
 
 
 def _quadrant_fwd(fmap, kernel, bias):
-    if _on_tpu():
+    if on_tpu():
         from surya_tpu.ops.quadtree import quadrant_split
 
         out, act_full = _quadrant_process_impl(fmap, kernel, bias,

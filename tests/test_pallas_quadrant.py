@@ -96,7 +96,7 @@ def test_pallas_fwd_grad_matches_lax(monkeypatch):
     backward runs against kernel-produced activations."""
     import surya_tpu.ops.pallas.quadrant as qmod
 
-    monkeypatch.setattr(qmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(qmod, "on_tpu", lambda: True)
     rng = np.random.default_rng(5)
     fmap = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
     kernel = jnp.asarray(rng.normal(size=(3, 3, 16, 8)) * 0.1, jnp.float32)
