@@ -206,3 +206,51 @@ def test_disk_loader_surfaces_worker_errors(disk_dataset):
     with pytest.raises(Exception):
         for _ in src._batches("train", np.arange(4), 4):
             pass
+
+
+def test_split_class_mismatch_raises(disk_dataset):
+    """A split whose class dirs differ from train's must fail loudly —
+    labels index the split's OWN sorted dirs, so a missing class dir
+    silently shifts every later label (review regression)."""
+    import shutil
+
+    from surya_tpu.core.config import DataConfig
+    from surya_tpu.data.dataset import DiskDataSource
+
+    shutil.rmtree(os.path.join(disk_dataset, "test", "cobra"))
+    with pytest.raises(ValueError, match="class dirs"):
+        DiskDataSource(DataConfig(data_root=disk_dataset, batch_size=4),
+                       use_native=False)
+
+
+def test_stats_aligned_to_reorders_and_raises():
+    from surya_tpu.data.imputation import ClassFeatureStats
+
+    means = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    stats = ClassFeatureStats(means, None, ["a", "b"],
+                              feature_names=["f0", "f1"])
+    flipped = stats.aligned_to(["b", "a"])
+    np.testing.assert_array_equal(np.asarray(flipped.means),
+                                  means[[1, 0]])
+    assert stats.aligned_to(["a", "b"]) is stats  # no-op fast path
+    with pytest.raises(ValueError, match="missing"):
+        stats.aligned_to(["a", "c"])
+
+
+def test_native_decode_failure_falls_back_to_pil_error(disk_dataset):
+    """A corrupt JPEG must raise with the file's name (PIL fallback),
+    not silently train on a zero-filled black frame (review
+    regression: the native n_ok count was discarded)."""
+    from surya_tpu import native
+    from surya_tpu.core.config import DataConfig
+    from surya_tpu.data.dataset import DiskDataSource
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    src = DiskDataSource(DataConfig(data_root=disk_dataset, batch_size=4),
+                         use_native=True)
+    bad = src.index["train"][0][0]
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0 not a real jpeg")
+    with pytest.raises(Exception):
+        src._load_batch("train", np.arange(4))
