@@ -19,7 +19,15 @@ import os
 import sys
 
 
-def _build_data(cfg):
+def _build_mesh(cfg):
+    """Mesh from the --mesh.* config subtree (data/model/seq axes)."""
+    from surya_tpu.core.mesh import MeshSpec, create_mesh
+
+    return create_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model,
+                                seq=cfg.mesh.seq))
+
+
+def _build_data(cfg, pad_eval_to: int = 1):
     """Pick the data source: synthetic, sequence (temporal models), or
     disk (spatial models)."""
     from surya_tpu.models import TEMPORAL_MODELS
@@ -42,22 +50,33 @@ def _build_data(cfg):
                                        // cfg.model.num_classes, 2),
                          seed=i, **kw)
                   for i, s in enumerate(("train", "valid", "test"))}
-        return ArrayDataSource(splits, cfg.data.batch_size)
+        return ArrayDataSource(splits, cfg.data.batch_size,
+                               pad_eval_to=pad_eval_to)
     if temporal:
+        if cfg.data.seq_len != cfg.model.seq_len:
+            raise ValueError(
+                f"data.seq_len={cfg.data.seq_len} != "
+                f"model.seq_len={cfg.model.seq_len}; override both "
+                "together (the model's temporal embedding is sized to "
+                "its seq_len)")
         if cfg.data.packed_dir:
             from surya_tpu.data.packed import PackedSequenceSource
 
-            return PackedSequenceSource(cfg.data, seed=cfg.train.seed)
+            return PackedSequenceSource(cfg.data, seed=cfg.train.seed,
+                                        pad_eval_to=pad_eval_to)
         from surya_tpu.data.sequences import SequenceDataSource
 
-        return SequenceDataSource(cfg.data, seed=cfg.train.seed)
+        return SequenceDataSource(cfg.data, seed=cfg.train.seed,
+                                  pad_eval_to=pad_eval_to)
     if cfg.data.packed_dir:
         from surya_tpu.data.packed import PackedDataSource
 
-        return PackedDataSource(cfg.data, seed=cfg.train.seed)
+        return PackedDataSource(cfg.data, seed=cfg.train.seed,
+                                pad_eval_to=pad_eval_to)
     from surya_tpu.data.dataset import DiskDataSource
 
-    return DiskDataSource(cfg.data, seed=cfg.train.seed)
+    return DiskDataSource(cfg.data, seed=cfg.train.seed,
+                          pad_eval_to=pad_eval_to)
 
 
 def cmd_train(argv: list[str]) -> int:
@@ -95,21 +114,24 @@ def cmd_train(argv: list[str]) -> int:
         cfg = cfg.override({"data.synthetic": "true"})
     if args.debug_nans:
         cfg = cfg.override({"train.nan_guard": "false"})
-    if rest:
-        cfg = cfg.override(parse_cli_overrides(rest))
+    overrides = parse_cli_overrides(rest) if rest else {}
+    if overrides:
+        cfg = cfg.override(overrides)
     os.makedirs(args.out, exist_ok=True)
-    cfg = cfg.override(
-        {"train.checkpoint_dir": os.path.join(args.out, "ckpt")})
+    if "train.checkpoint_dir" not in overrides:  # don't clobber -- flag
+        cfg = cfg.override(
+            {"train.checkpoint_dir": os.path.join(args.out, "ckpt")})
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    data = _build_data(cfg)
+    mesh = _build_mesh(cfg)
+    data = _build_data(cfg, pad_eval_to=mesh.shape["data"])
     logger = MetricsLogger(
         os.path.join(args.out, "metrics.jsonl"),
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.tensorboard else None))
     try:
-        summary = train_and_evaluate(cfg, data, logger=logger,
+        summary = train_and_evaluate(cfg, data, mesh=mesh, logger=logger,
                                      resume=args.resume,
                                      profile_dir=args.profile_dir)
     finally:
@@ -158,9 +180,11 @@ def cmd_eval(argv: list[str]) -> int:
         cfg = cfg.override({"data.synthetic": "true"})
     if rest:
         cfg = cfg.override(parse_cli_overrides(rest))
-    data = _build_data(cfg)
+    mesh = _build_mesh(cfg)
+    data = _build_data(cfg, pad_eval_to=mesh.shape["data"])
     variables = load_checkpoint_variables(args.checkpoint)
-    out = evaluate_checkpoint(cfg, variables, data, split=args.split)
+    out = evaluate_checkpoint(cfg, variables, data, split=args.split,
+                              mesh=mesh)
     print(json.dumps({k: (float(v) if not hasattr(v, "tolist")
                           else v.tolist())
                       for k, v in out.items() if k != "confusion"}))

@@ -32,7 +32,9 @@ class ModelConfig:
     num_features: int = 47
     backbone: str = "resnet18"  # for standard_multimodal: resnet18/50, vgg16, mobilenet_v2, densenet121
     freeze_backbone: bool = False
-    dropout: float = 0.5
+    # None = each family's reference default (0.5 spatial/cnn-lstm,
+    # 0.6 3d-quadtree/hybrid, 0.1 FACT); set to override uniformly
+    dropout: float | None = None
     # temporal models
     seq_len: int = 4
     lstm_hidden: int = 256
@@ -169,10 +171,8 @@ def _set_path(obj, parts, value):
         fields = {f.name: f for f in dataclasses.fields(obj)}
         if parts[0] not in fields:
             raise KeyError(f"unknown config field {parts[0]!r} on {type(obj).__name__}")
-        ftype = fields[parts[0]].type
         if isinstance(value, str):
             value = _coerce(value, getattr(obj, parts[0]))
-        del ftype
         return dataclasses.replace(obj, **{parts[0]: value})
     child = getattr(obj, parts[0])
     return dataclasses.replace(obj, **{parts[0]: _set_path(child, parts[1:], value)})
@@ -180,11 +180,24 @@ def _set_path(obj, parts, value):
 
 def _coerce(s: str, current):
     if isinstance(current, bool):
-        return s.lower() in ("1", "true", "yes", "on")
+        low = s.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"invalid boolean {s!r} "
+                         "(use true/false/1/0/yes/no/on/off)")
     if isinstance(current, int):
         return int(s)
     if isinstance(current, float):
         return float(s)
+    if current is None:  # optional numeric field (e.g. model.dropout)
+        if s.strip().lower() in ("none", "null", ""):
+            return None
+        try:
+            return float(s)
+        except ValueError:
+            return s
     return s
 
 

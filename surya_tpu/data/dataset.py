@@ -224,7 +224,9 @@ class DiskDataSource:
 
         images, feats, labels = batch
         images = jnp.asarray(images, jnp.float32) / 255.0
-        if split == "train" and self.cfg.augment:
+        # key=None → eval preprocessing even on the train split: the
+        # read-only consumers (eval/cam CLIs) pass no PRNG key
+        if split == "train" and self.cfg.augment and key is not None:
             images = augment_batch(
                 key, images, out_size=self.cfg.image_size,
                 scale_min=self.cfg.rrc_scale_min,

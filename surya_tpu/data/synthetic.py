@@ -58,11 +58,13 @@ def make_synthetic_temporal(num_classes: int = 8, per_class: int = 8,
     images, features, labels = make_synthetic_spatial(
         num_classes, per_class, image_size, num_features, seed, noise)
     rng = np.random.default_rng(seed + 1)
-    n = len(labels)
     img_seq = np.repeat(images[:, None], seq_len, axis=1)
     feat_seq = np.repeat(features[:, None], seq_len, axis=1)
-    # small per-frame jitter so time steps differ
-    img_seq += rng.normal(0, noise / 2, img_seq.shape).astype(np.float32)
-    feat_seq += rng.normal(0, noise / 2, feat_seq.shape).astype(np.float32)
-    del n
+    # small per-frame jitter so time steps differ; f32 draws directly —
+    # a float64 rng.normal temp would double peak memory of the
+    # largest allocation on this 1-core host
+    img_seq += (noise / 2) * rng.standard_normal(img_seq.shape,
+                                                 dtype=np.float32)
+    feat_seq += (noise / 2) * rng.standard_normal(feat_seq.shape,
+                                                  dtype=np.float32)
     return img_seq.astype(np.float32), feat_seq.astype(np.float32), labels

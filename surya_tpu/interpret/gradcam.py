@@ -112,7 +112,8 @@ def _quadtree_logits_from(cfg: ModelConfig, variables, act, fmap, feats,
     else:
         fused = img_feat
     return FusionClassifier(num_classes=cfg.num_classes,
-                            dropout=cfg.dropout,
+                            dropout=(0.5 if cfg.dropout is None
+                                     else cfg.dropout),
                             dtype=jnp.float32).apply(
         {"params": params["classifier"]}, fused, train=False)
 

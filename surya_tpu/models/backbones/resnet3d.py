@@ -57,8 +57,18 @@ class ResNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 capture: Sequence[str] = ()):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+                 capture: Sequence[str] = (),
+                 train_stages: Sequence[str] | None = None):
+        # train_stages: stages whose BN runs in batch-stats mode when
+        # train=True (None = all). Partial-unfreeze models pass
+        # {"layer4"} so the trainable stage's BN statistics track its
+        # drifting convs while frozen stages keep inference-mode BN.
+        def stage_train(stage: str) -> bool:
+            return train and (train_stages is None
+                              or stage in train_stages)
+
+        norm = partial(nn.BatchNorm,
+                       use_running_average=not stage_train("stem"),
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                        param_dtype=jnp.float32)
         x = x.astype(self.dtype)
@@ -79,7 +89,8 @@ class ResNet3D(nn.Module):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = BasicBlock3D(filters=filters, stride=stride,
                                  dtype=self.dtype,
-                                 name=f"{stage}_block{j}")(x, train=train)
+                                 name=f"{stage}_block{j}")(
+                                     x, train=stage_train(stage))
             if stage in capture:
                 outs[stage] = x
         outs["out"] = x

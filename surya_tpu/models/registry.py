@@ -47,15 +47,26 @@ def _dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.compute_dtype)
 
 
+def _opt(cfg: ModelConfig, *, num_features: bool = False) -> dict:
+    """kwargs for per-family optional overrides: cfg.dropout=None means
+    'keep the family's reference default', so nothing is forwarded."""
+    kw = {}
+    if cfg.dropout is not None:
+        kw["dropout"] = cfg.dropout
+    if num_features:
+        kw["num_features"] = cfg.num_features
+    return kw
+
+
 # --- spatial -------------------------------------------------------------
 
 @register("quadtree")
 def _quadtree(cfg: ModelConfig):
     from surya_tpu.models.spatial.quadtree import QuadtreeCNN
     return QuadtreeCNN(num_classes=cfg.num_classes, mode=cfg.mode,
-                       backbone=cfg.backbone, dropout=cfg.dropout,
+                       backbone=cfg.backbone,
                        dtype=_dtype(cfg), use_pallas=cfg.use_pallas,
-                       stem_s2d=cfg.stem_space_to_depth)
+                       stem_s2d=cfg.stem_space_to_depth, **_opt(cfg))
 
 
 @register("hierarchical_quadtree")
@@ -100,27 +111,30 @@ def _cnn_lstm(cfg: ModelConfig):
     return CnnLstm(num_classes=cfg.num_classes, backbone=cfg.backbone,
                    lstm_hidden=cfg.lstm_hidden, lstm_layers=cfg.lstm_layers,
                    dtype=_dtype(cfg),
-                   freeze_backbone=cfg.freeze_backbone)
+                   freeze_backbone=cfg.freeze_backbone, **_opt(cfg))
 
 
 @register("ji_3dcnn")
 def _ji3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.conv3d import Ji3DCNN
-    return Ji3DCNN(num_classes=cfg.num_classes, dtype=_dtype(cfg))
+    return Ji3DCNN(num_classes=cfg.num_classes, dtype=_dtype(cfg),
+                   **_opt(cfg))
 
 
 @register("quadtree_3d")
 def _qt3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.conv3d import Quadtree3DCNN
     return Quadtree3DCNN(num_classes=cfg.num_classes, mode=cfg.mode,
-                         dtype=_dtype(cfg))
+                         dtype=_dtype(cfg),
+                         **_opt(cfg, num_features=True))
 
 
 @register("resnet3d_video")
 def _r3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.resnet3d_video import ResNet3DVideo
     return ResNet3DVideo(num_classes=cfg.num_classes, dtype=_dtype(cfg),
-                         freeze_backbone=cfg.freeze_backbone)
+                         freeze_backbone=cfg.freeze_backbone,
+                         **_opt(cfg))
 
 
 @register("hybrid_quadtree_3d")
@@ -128,7 +142,8 @@ def _hybrid3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.resnet3d_video import HybridQuadtree3DCNN
     return HybridQuadtree3DCNN(num_classes=cfg.num_classes, mode=cfg.mode,
                                dtype=_dtype(cfg),
-                               freeze_backbone=cfg.freeze_backbone)
+                               freeze_backbone=cfg.freeze_backbone,
+                               **_opt(cfg, num_features=True))
 
 
 @register("fact")
@@ -139,4 +154,5 @@ def _fact(cfg: ModelConfig):
                      embed_dim=cfg.fusion_dim, dtype=_dtype(cfg),
                      freeze_backbone=cfg.freeze_backbone,
                      moe_experts=cfg.moe_experts,
-                     moe_top_k=cfg.moe_top_k)
+                     moe_top_k=cfg.moe_top_k,
+                     **_opt(cfg, num_features=True))

@@ -35,8 +35,12 @@ class ResNet3DVideo(nn.Module):
     def __call__(self, image_sequence, numerical_sequence=None,
                  train: bool = False):
         del numerical_sequence  # accepted and ignored (3dcnn/models.py:256)
+        # freeze_backbone freezes all-but-layer4 (optax mask): layer4's
+        # BN must keep tracking its trainable convs' statistics, while
+        # frozen stages run inference-mode BN
         outs = r3d_18(dtype=self.dtype, name="trunk")(
-            image_sequence, train=train and not self.freeze_backbone)
+            image_sequence, train=train,
+            train_stages=({"layer4"} if self.freeze_backbone else None))
         feat = jnp.mean(outs["out"], axis=(1, 2, 3), dtype=self.dtype)
         return FusionClassifier(num_classes=self.num_classes,
                                 hidden_dim=256, dropout=self.dropout,
@@ -58,7 +62,8 @@ class HybridQuadtree3DCNN(nn.Module):
         if self.mode not in HYBRID_MODES:
             raise ValueError(f"mode must be one of {HYBRID_MODES}")
         outs = r3d_18(dtype=self.dtype, name="trunk")(
-            image_sequence, train=train and not self.freeze_backbone)
+            image_sequence, train=train,
+            train_stages=({"layer4"} if self.freeze_backbone else None))
         img = jnp.mean(outs["out"], axis=(1, 2, 3), dtype=self.dtype)
 
         if self.mode == "fusion":
