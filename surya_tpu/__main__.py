@@ -235,7 +235,8 @@ def cmd_check() -> int:
     report["jax_backend"] = jax.default_backend()
     report["devices"] = [str(d) for d in jax.devices()]
     for dep, why in [("PIL", "image IO"), ("cv2", "video IO/skeletons"),
-                     ("mediapipe", "pose landmark extraction"),
+                     ("mediapipe", "pose landmark extraction (optional: "
+                                   "TPU-native landmark net needs none)"),
                      ("rembg", "background removal (optional: "
                                "TPU-native U2-Net backend needs none)"),
                      ("diffusers", "Zero123-Plus multiview (optional: "
@@ -246,6 +247,7 @@ def cmd_check() -> int:
     report["tpu_native_backends"] = {
         "u2net_background_removal": "models/segmentation/u2net.py",
         "euler_ancestral_multiview": "models/diffusion/",
+        "pose_landmark_detection": "models/pose/landmark_net.py",
     }
     from surya_tpu import native
 

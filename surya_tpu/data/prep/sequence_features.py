@@ -135,7 +135,21 @@ def process_image_sequences(renamed_root: str, out_root: str,
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    print(process_image_sequences(sys.argv[1], sys.argv[2],
-                                  annotate=True))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("renamed_root")
+    ap.add_argument("out_root")
+    ap.add_argument("--pose-ckpt", default=None,
+                    help="msgpack checkpoint of the TPU-native landmark "
+                         "net (models/pose): replaces MediaPipe")
+    args = ap.parse_args()
+    ext = None
+    if args.pose_ckpt:
+        from surya_tpu.models.pose import (
+            load_pose_params,
+            neural_landmark_extractor,
+        )
+        ext = neural_landmark_extractor(load_pose_params(args.pose_ckpt))
+    print(process_image_sequences(args.renamed_root, args.out_root,
+                                  extractor=ext, annotate=True))

@@ -226,6 +226,16 @@ if __name__ == "__main__":
     ap.add_argument("renamed_root")
     ap.add_argument("out_root")
     ap.add_argument("--labels", nargs="+", required=True)
+    ap.add_argument("--pose-ckpt", default=None,
+                    help="msgpack checkpoint of the TPU-native landmark "
+                         "net (models/pose): replaces MediaPipe")
     args = ap.parse_args()
+    ext = None
+    if args.pose_ckpt:
+        from surya_tpu.models.pose import (
+            load_pose_params,
+            neural_landmark_extractor,
+        )
+        ext = neural_landmark_extractor(load_pose_params(args.pose_ckpt))
     print(prepare_still_image_dataset(args.renamed_root, args.out_root,
-                                      args.labels))
+                                      args.labels, extractor=ext))

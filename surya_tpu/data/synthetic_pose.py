@@ -1,0 +1,207 @@
+"""On-device synthetic pose dataset: articulated stick figures + labels.
+
+Supports training the TPU-native pose-landmark model
+(``surya_tpu.models.pose``) without MediaPipe or a real pose dataset
+(no network egress in this environment). The reference's landmark
+source is MediaPipe Pose (``experiment/1_prepare_still_image_dataset.py:30``,
+``:222``); this module provides ground truth in the same 33-landmark
+topology (``surya_tpu.features.landmarks``) so a trained network can
+stand in for it end to end.
+
+TPU-first design: both the pose sampler and the renderer are pure
+jax — ``make_pose_batch`` is one jittable program (sample → articulate
+→ render), so training data is synthesized ON DEVICE each step; the
+host feeds nothing but a PRNG key. Rendering is vectorized
+point-to-segment distance over the full pixel grid (one (P, K) map per
+figure — elementwise + two small matmuls, no scatter).
+
+Left/right disambiguation: a monochrome stick figure is chirally
+ambiguous, so bones are colour-coded by side (left limbs → channel 0,
+right → channel 1, torso/face → channel 2) — the standard trick used
+by synthetic-pose pretraining pipelines. Depth is encoded by intensity
+(nearer joints brighter), making z learnable from pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surya_tpu.features import landmarks as L
+
+# Canonical 33-landmark template, MediaPipe topology/order, normalized
+# image coords (x right, y DOWN), front-facing: the subject's LEFT side
+# appears on the image's right (x > 0.5), matching what MediaPipe
+# reports for a camera-facing person.
+_T = {
+    0: (0.50, 0.18),                                    # nose
+    1: (0.52, 0.16), 2: (0.535, 0.16), 3: (0.55, 0.16),  # left eye i/c/o
+    4: (0.48, 0.16), 5: (0.465, 0.16), 6: (0.45, 0.16),  # right eye i/c/o
+    7: (0.57, 0.17), 8: (0.43, 0.17),                   # ears L/R
+    9: (0.52, 0.20), 10: (0.48, 0.20),                  # mouth L/R
+    11: (0.60, 0.30), 12: (0.40, 0.30),                 # shoulders
+    13: (0.66, 0.42), 14: (0.34, 0.42),                 # elbows
+    15: (0.70, 0.54), 16: (0.30, 0.54),                 # wrists
+    17: (0.72, 0.585), 18: (0.28, 0.585),               # pinkies
+    19: (0.715, 0.59), 20: (0.285, 0.59),               # index fingers
+    21: (0.705, 0.575), 22: (0.295, 0.575),             # thumbs
+    23: (0.56, 0.55), 24: (0.44, 0.55),                 # hips
+    25: (0.57, 0.72), 26: (0.43, 0.72),                 # knees
+    27: (0.57, 0.88), 28: (0.43, 0.88),                 # ankles
+    29: (0.575, 0.915), 30: (0.425, 0.915),             # heels
+    31: (0.60, 0.935), 32: (0.40, 0.935),               # foot index
+}
+TEMPLATE_XY = np.asarray([_T[i] for i in range(L.NUM_LANDMARKS)],
+                         np.float32)
+
+# (bones, channel): 0 = left limbs, 1 = right limbs, 2 = torso/face.
+_BONE_SPEC = (
+    # face
+    ((0, 2), 2), ((2, 7), 2), ((0, 5), 2), ((5, 8), 2), ((9, 10), 2),
+    # torso box
+    ((11, 12), 2), ((11, 23), 2), ((12, 24), 2), ((23, 24), 2),
+    # left arm + hand
+    ((11, 13), 0), ((13, 15), 0), ((15, 17), 0), ((15, 19), 0),
+    ((15, 21), 0),
+    # right arm + hand
+    ((12, 14), 1), ((14, 16), 1), ((16, 18), 1), ((16, 20), 1),
+    ((16, 22), 1),
+    # left leg + foot
+    ((23, 25), 0), ((25, 27), 0), ((27, 29), 0), ((29, 31), 0),
+    ((27, 31), 0),
+    # right leg + foot
+    ((24, 26), 1), ((26, 28), 1), ((28, 30), 1), ((30, 32), 1),
+    ((28, 32), 1),
+)
+BONES = np.asarray([b for b, _ in _BONE_SPEC], np.int32)        # (K, 2)
+BONE_CHANNEL = np.asarray([c for _, c in _BONE_SPEC], np.int32)  # (K,)
+
+# Joint blob channel by side: odd-numbered MediaPipe landmarks are
+# left-side, even right-side, except the midline nose (0 → torso ch).
+JOINT_CHANNEL = np.asarray(
+    [2] + [0 if i % 2 == 1 else 1 for i in range(1, L.NUM_LANDMARKS)],
+    np.int32)
+
+# Articulation chains: (pivot, moved landmark indices). Rotating each
+# chain about its pivot produces kinematically consistent limb poses
+# (the distal chain follows the proximal rotation because chains are
+# applied proximal-first).
+_CHAINS = (
+    (11, (13, 15, 17, 19, 21)),   # left arm about shoulder
+    (13, (15, 17, 19, 21)),       # left forearm about elbow
+    (12, (14, 16, 18, 20, 22)),   # right arm about shoulder
+    (14, (16, 18, 20, 22)),       # right forearm about elbow
+    (23, (25, 27, 29, 31)),       # left leg about hip
+    (25, (27, 29, 31)),           # left shank about knee
+    (24, (26, 28, 30, 32)),       # right leg about hip
+    (26, (28, 30, 32)),           # right shank about knee
+)
+_CHAIN_PIVOTS = np.asarray([p for p, _ in _CHAINS], np.int32)
+_CHAIN_MASKS = np.zeros((len(_CHAINS), L.NUM_LANDMARKS), np.float32)
+for _ci, (_, _moved) in enumerate(_CHAINS):
+    _CHAIN_MASKS[_ci, list(_moved)] = 1.0
+# Max swing per chain (radians): shoulders/hips wide, distal smaller.
+_CHAIN_RANGE = np.asarray([1.2, 1.0, 1.2, 1.0, 0.6, 0.7, 0.6, 0.7],
+                          np.float32)
+
+
+def _rot2(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.array([[c, -s], [s, c]], jnp.float32)
+
+
+def sample_pose(key: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One random articulated pose → (xy (33,2), z (33,), vis (33,)).
+
+    xy is in normalized [0,1] image coords (some joints may exit the
+    frame — their visibility target drops accordingly, like MediaPipe's
+    low-visibility scores for out-of-view landmarks).
+    """
+    ks = jax.random.split(key, 6)
+    xy = jnp.asarray(TEMPLATE_XY)
+
+    # Limb articulation, proximal chains first.
+    swings = jax.random.uniform(
+        ks[0], (len(_CHAINS),), minval=-1.0, maxval=1.0) * _CHAIN_RANGE
+    for ci in range(len(_CHAINS)):
+        pivot = xy[_CHAIN_PIVOTS[ci]]
+        rotated = (xy - pivot) @ _rot2(swings[ci]).T + pivot
+        m = _CHAIN_MASKS[ci][:, None]
+        xy = m * rotated + (1.0 - m) * xy
+
+    # Global similarity transform.
+    scale = jax.random.uniform(ks[1], minval=0.55, maxval=0.95)
+    theta = jax.random.uniform(ks[2], minval=-0.5, maxval=0.5)
+    trans = jax.random.uniform(ks[3], (2,), minval=-0.12, maxval=0.12)
+    center = jnp.array([0.5, 0.55], jnp.float32)
+    xy = (xy - center) @ _rot2(theta).T * scale + center + trans
+
+    # Per-joint jitter (uncorrelated detail the net must localize).
+    xy = xy + 0.01 * jax.random.normal(ks[4], xy.shape)
+
+    # Depth: a global forward/backward lean makes z a linear function of
+    # template height + noise; encoded in render intensity.
+    lean = jax.random.uniform(ks[5], minval=-0.35, maxval=0.35)
+    z = lean * (jnp.asarray(TEMPLATE_XY)[:, 1] - 0.55)
+    z = z + 0.02 * jax.random.normal(ks[4], z.shape)
+
+    # Visibility target: smoothly drops as a joint leaves the frame.
+    inside = jnp.prod(
+        jax.nn.sigmoid(xy / 0.01) * jax.nn.sigmoid((1.0 - xy) / 0.01),
+        axis=-1)
+    vis = jnp.clip(inside, 0.0, 1.0)
+    return xy.astype(jnp.float32), z.astype(jnp.float32), vis
+
+
+def render_pose(xy: jax.Array, z: jax.Array, image_size: int = 256,
+                bone_sigma: float = 0.010, joint_sigma: float = 0.018
+                ) -> jax.Array:
+    """(33,2) coords + (33,) depth → (S,S,3) float32 image in [0,1].
+
+    Pure jnp: distances from every pixel center to every bone segment
+    and joint, gaussian falloff, per-side channel assignment via two
+    one-hot matmuls. Depth modulates intensity (near = bright).
+    """
+    s = image_size
+    centers = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    px, py = jnp.meshgrid(centers, centers, indexing="xy")
+    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (P,2)
+
+    depth_gain = jnp.clip(1.0 - 1.5 * z, 0.35, 1.65)           # (33,)
+
+    # Bones: point-to-segment distance.
+    p = xy[BONES[:, 0]]                                        # (K,2)
+    q = xy[BONES[:, 1]]
+    seg = q - p
+    len2 = jnp.sum(seg * seg, axis=-1) + 1e-8                  # (K,)
+    rel = pix[:, None, :] - p[None, :, :]                      # (P,K,2)
+    t = jnp.clip(jnp.sum(rel * seg[None], axis=-1) / len2, 0.0, 1.0)
+    d2 = jnp.sum((rel - t[..., None] * seg[None]) ** 2, axis=-1)  # (P,K)
+    bone_gain = 0.5 * (depth_gain[BONES[:, 0]] + depth_gain[BONES[:, 1]])
+    bone_int = jnp.exp(-d2 / (2.0 * bone_sigma**2)) * bone_gain[None]
+    bone_rgb = bone_int @ jax.nn.one_hot(BONE_CHANNEL, 3)      # (P,3)
+
+    # Joint blobs.
+    d2j = jnp.sum((pix[:, None, :] - xy[None]) ** 2, axis=-1)  # (P,33)
+    joint_int = jnp.exp(-d2j / (2.0 * joint_sigma**2)) * depth_gain[None]
+    joint_rgb = joint_int @ jax.nn.one_hot(JOINT_CHANNEL, 3)
+
+    img = jnp.clip(0.65 * bone_rgb + joint_rgb, 0.0, 1.0)
+    return img.reshape(s, s, 3)
+
+
+def make_pose_batch(key: jax.Array, batch_size: int,
+                    image_size: int = 256, noise: float = 0.03):
+    """One jittable program: (key) → (images (B,S,S,3), xy, z, vis).
+
+    Intended use: ``jax.jit(partial(make_pose_batch, batch_size=B,
+    image_size=S))`` — the whole data pipeline for the pose model runs
+    on device, nothing crosses the host boundary but the key.
+    """
+    kp, kn = jax.random.split(key)
+    xy, z, vis = jax.vmap(sample_pose)(jax.random.split(kp, batch_size))
+    imgs = jax.vmap(lambda a, b: render_pose(a, b, image_size))(xy, z)
+    imgs = jnp.clip(
+        imgs + noise * jax.random.normal(kn, imgs.shape), 0.0, 1.0)
+    return imgs, xy, z, vis

@@ -185,16 +185,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON file with class names list")
     ap.add_argument("--display", action="store_true",
                     help="show annotated frames live (q to quit)")
+    ap.add_argument("--pose-ckpt", default=None,
+                    help="msgpack checkpoint of the TPU-native landmark "
+                         "net (models/pose, scripts/pose_train_demo.py): "
+                         "replaces MediaPipe for landmark extraction")
     args = ap.parse_args(argv)
     with open(args.classes) as f:
         class_names = json.load(f)
     cfg = ModelConfig(name=args.model, mode=args.mode,
                       num_classes=len(class_names))
+    extractor = None
+    if args.pose_ckpt:
+        from surya_tpu.models.pose import (
+            load_pose_params,
+            neural_landmark_extractor,
+        )
+        extractor = neural_landmark_extractor(
+            load_pose_params(args.pose_ckpt))
     # accepts a CheckpointManager dir, a save_params full-variables
     # tree, or a bare params tree — same contract as every other CLI
     variables = load_checkpoint_variables(args.params_path)
     recs = run_video_inference(cfg, variables, args.video, class_names,
-                               output_path=args.out,
+                               output_path=args.out, extractor=extractor,
                                display=args.display)
     print(json.dumps(recs[:10], indent=2))
     print(f"{len(recs)} frames classified")

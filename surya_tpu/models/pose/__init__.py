@@ -1,0 +1,9 @@
+from surya_tpu.models.pose.landmark_net import (  # noqa: F401
+    PoseLandmarkNet,
+    landmark_loss,
+    load_pose_params,
+    neural_landmark_extractor,
+    pck,
+    save_pose_params,
+    soft_argmax_2d,
+)

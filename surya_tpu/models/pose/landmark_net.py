@@ -1,0 +1,253 @@
+"""TPU-native pose-landmark detection: the MediaPipe stand-in.
+
+Every reference pipeline stage that consumes landmarks calls MediaPipe
+Pose, an opaque host-CPU C++ graph (still-image prep
+``experiment/1_prepare_still_image_dataset.py:30,222``; sequence prep
+``sqn process/processing_image_sequence.py:338``; live video
+``experiment/test_on_video_cnn.py:256-258``). This module makes
+landmark detection a first-class TPU component in the same way
+``models/segmentation/u2net.py`` did for rembg:
+
+- ``PoseLandmarkNet``: heatmap head + differentiable soft-argmax decode
+  for (x, y), a global regression head for depth z and per-landmark
+  visibility — the BlazePose-style hybrid, NHWC, bf16 compute / f32
+  params and heads (repo convention). GroupNorm (not BN) so the model
+  is batch-size-independent and needs no mutable state: the whole
+  apply is one pure function, trivially jit/pjit-able.
+- ``soft_argmax_2d``: spatial softmax → coordinate expectation — the
+  decode is two small matmuls, fully on-MXU, and exact for one-hot
+  heatmaps (pinned by test).
+- ``landmark_loss``: visibility-masked coordinate + depth regression,
+  visibility BCE, and a spatial cross-entropy on the heatmaps against
+  rendered gaussian targets (the aux loss that gives soft-argmax
+  useful gradients when predictions start far from targets).
+- ``neural_landmark_extractor``: adapts trained weights to the
+  ``LandmarkExtractor`` protocol of
+  ``data/prep/still_image_dataset.py:39-42`` (path → ((33,4), detected),
+  plus ``process_array`` for the video loop) — a drop-in for
+  ``mediapipe_extractor`` in still-image prep, sequence prep, and
+  ``infer/video.py``.
+
+Train it on the on-device synthetic generator
+(``data/synthetic_pose.py``; demo artifact ``runs/pose_landmark/`` via
+``scripts/pose_train_demo.py``) or any (image, 33×4) landmark dataset.
+No pretrained weights ship here: MediaPipe's are not importable (TFLite
+graph, different decoder), so this is a trainable replacement, not a
+weight port.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surya_tpu.features.landmarks import NUM_LANDMARKS
+
+
+def soft_argmax_2d(heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, K) logits → (B, K, 2) expected (x, y) in [0, 1].
+
+    Softmax over the h·w positions, then expectation of pixel-center
+    coordinates — differentiable and sub-pixel (the expectation
+    interpolates between cells, so accuracy is not quantized to the
+    heatmap stride).
+    """
+    b, h, w, k = heatmaps.shape
+    probs = jax.nn.softmax(
+        heatmaps.reshape(b, h * w, k).astype(jnp.float32), axis=1)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    grid = jnp.stack(
+        [jnp.tile(xs, h), jnp.repeat(ys, w)], axis=-1)  # (h*w, 2)
+    return jnp.einsum("bpk,pc->bkc", probs, grid)
+
+
+class PoseLandmarkNet(nn.Module):
+    """Image (B,S,S,3) in [0,1] → 33 MediaPipe-convention landmarks.
+
+    Encoder to stride 16, two-skip decoder back to stride 4 where the
+    33-channel heatmap lives; z/visibility regress from the pooled
+    bottleneck. S must be divisible by 16.
+    """
+
+    num_landmarks: int = NUM_LANDMARKS
+    width: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        def conv(f, name, strides=1, kernel=3):
+            return nn.Conv(f, (kernel, kernel), strides=(strides, strides),
+                           use_bias=False, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=name)
+
+        def gn(name):
+            return nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=name)
+
+        w = self.width
+        x = images.astype(self.dtype) - 0.5
+        x = nn.relu(gn("stem_gn")(conv(w, "stem", strides=2)(x)))  # S/2
+
+        skips = []
+        for i, f in enumerate((2 * w, 4 * w, 8 * w)):       # S/4, S/8, S/16
+            x = nn.relu(gn(f"down{i}_gn_a")(
+                conv(f, f"down{i}_a", strides=2)(x)))
+            y = nn.relu(gn(f"down{i}_gn_b")(conv(f, f"down{i}_b")(x)))
+            x = x + y                                       # residual
+            skips.append(x)
+
+        bottleneck = x                                      # (B,S/16,S/16,8w)
+
+        def up(x, skip, f, name):
+            b, _, _, _ = x.shape
+            x = jax.image.resize(
+                x, (b, skip.shape[1], skip.shape[2], x.shape[-1]),
+                method="bilinear")
+            return nn.relu(gn(f"{name}_gn")(conv(f, name)(x))) + skip
+
+        x = up(x, skips[1], 4 * w, "up0")                   # S/8
+        x = up(x, skips[0], 2 * w, "up1")                   # S/4
+
+        heatmaps = nn.Conv(
+            self.num_landmarks, (1, 1), dtype=jnp.float32,
+            param_dtype=jnp.float32, name="heatmap")(x.astype(jnp.float32))
+        xy = soft_argmax_2d(heatmaps)                       # (B,K,2)
+
+        g = jnp.mean(bottleneck.astype(jnp.float32), axis=(1, 2))
+        g = nn.relu(nn.Dense(256, name="head_dense")(g))
+        zv = nn.Dense(2 * self.num_landmarks, name="head_out")(g)
+        z = 0.5 * jnp.tanh(zv[:, :self.num_landmarks])      # (B,K)
+        vis_logits = zv[:, self.num_landmarks:]
+
+        landmarks = jnp.concatenate(
+            [xy, z[..., None], jax.nn.sigmoid(vis_logits)[..., None]],
+            axis=-1)                                        # (B,K,4)
+        return {"landmarks": landmarks, "heatmaps": heatmaps,
+                "vis_logits": vis_logits}
+
+
+def _gaussian_targets(xy: jnp.ndarray, h: int, w: int,
+                      sigma: float = 0.02) -> jnp.ndarray:
+    """(B,K,2) coords → (B, h·w, K) normalized gaussian distributions."""
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    grid = jnp.stack([jnp.tile(xs, h), jnp.repeat(ys, w)], -1)  # (hw,2)
+    d2 = jnp.sum(
+        (grid[None, :, None, :] - xy[:, None, :, :]) ** 2, axis=-1)
+    g = jnp.exp(-d2 / (2.0 * sigma**2))
+    return g / (jnp.sum(g, axis=1, keepdims=True) + 1e-8)
+
+
+def landmark_loss(out: dict[str, jnp.ndarray], target_xy: jnp.ndarray,
+                  target_z: jnp.ndarray, target_vis: jnp.ndarray,
+                  heatmap_weight: float = 1.0) -> tuple[jnp.ndarray, dict]:
+    """Visibility-masked supervision. Returns (total, parts dict).
+
+    Coordinate/z/heatmap terms count only landmarks with target
+    visibility > 0.5 (off-frame joints carry no localization signal);
+    the visibility BCE is unmasked — predicting WHICH joints are
+    off-frame is part of the task, mirroring MediaPipe's semantics.
+    """
+    lm = out["landmarks"]
+    mask = (target_vis > 0.5).astype(jnp.float32)           # (B,K)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+    coord = jnp.sum(
+        mask * jnp.sum((lm[..., :2] - target_xy) ** 2, -1)) / denom
+    zloss = jnp.sum(mask * (lm[..., 2] - target_z) ** 2) / denom
+    vis_bce = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        out["vis_logits"], mask))
+
+    b, h, w, k = out["heatmaps"].shape
+    logp = jax.nn.log_softmax(
+        out["heatmaps"].reshape(b, h * w, k).astype(jnp.float32), axis=1)
+    targets = _gaussian_targets(target_xy, h, w)            # (B,hw,K)
+    ce = -jnp.sum(targets * logp, axis=1)                   # (B,K)
+    heat = jnp.sum(mask * ce) / denom
+
+    total = coord + 0.5 * zloss + 0.1 * vis_bce + heatmap_weight * heat
+    return total, {"coord": coord, "z": zloss, "vis_bce": vis_bce,
+                   "heatmap_ce": heat}
+
+
+def pck(pred_xy: jnp.ndarray, target_xy: jnp.ndarray,
+        target_vis: jnp.ndarray, threshold: float = 0.1) -> jnp.ndarray:
+    """PCK: fraction of visible landmarks within `threshold` (in
+    normalized image units) of the target."""
+    mask = (target_vis > 0.5).astype(jnp.float32)
+    dist = jnp.linalg.norm(pred_xy - target_xy, axis=-1)
+    hit = (dist < threshold).astype(jnp.float32)
+    return jnp.sum(mask * hit) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def save_pose_params(path: str, params) -> None:
+    """Single-file msgpack artifact (flax.serialization)."""
+    import flax.serialization
+
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+
+
+def load_pose_params(path: str, model: PoseLandmarkNet | None = None,
+                     image_size: int = 256):
+    """Load a ``save_pose_params`` artifact into a fresh param tree."""
+    import flax.serialization
+
+    model = model or PoseLandmarkNet()
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, image_size, image_size, 3), jnp.float32))["params"]
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def neural_landmark_extractor(params, model: PoseLandmarkNet | None = None,
+                              image_size: int = 256,
+                              detection_threshold: float = 0.3):
+    """Trained weights → a ``LandmarkExtractor`` drop-in.
+
+    Same duck type as ``mediapipe_extractor``
+    (``data/prep/still_image_dataset.py:45-85``): callable on an image
+    path returning ((33,4) float32, detected: bool), with a
+    ``process_array`` attribute taking an in-memory BGR uint8 frame
+    (what ``infer/video.py`` feeds). ``detected`` = mean predicted
+    visibility above ``detection_threshold``, mirroring MediaPipe's
+    no-pose → zeros contract (``still_image_dataset.py:71-72``).
+    """
+    from PIL import Image
+
+    model = model or PoseLandmarkNet()
+    fwd = jax.jit(
+        lambda imgs: model.apply({"params": params}, imgs)["landmarks"])
+
+    def _run(rgb_f32: np.ndarray) -> tuple[np.ndarray, bool]:
+        lm = np.asarray(fwd(rgb_f32[None])[0], np.float32)
+        detected = bool(lm[:, 3].mean() > detection_threshold)
+        if not detected:
+            return np.zeros((NUM_LANDMARKS, 4), np.float32), False
+        return lm, True
+
+    def _prep(img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB").resize((image_size, image_size),
+                                        Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
+    def process_array(img_bgr: np.ndarray):
+        rgb = Image.fromarray(np.ascontiguousarray(img_bgr[..., ::-1]))
+        return _run(_prep(rgb))
+
+    def extract(image_path: str):
+        try:
+            img = Image.open(image_path)
+        except OSError:
+            return np.zeros((NUM_LANDMARKS, 4), np.float32), False
+        return _run(_prep(img))
+
+    extract.process_array = process_array
+    return extract

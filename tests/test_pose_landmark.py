@@ -1,0 +1,179 @@
+"""TPU-native pose-landmark model (models/pose) + synthetic generator.
+
+Covers the MediaPipe-replacement tier: soft-argmax decode exactness,
+forward contract, on-device synthetic rendering, train-to-improvement,
+and the LandmarkExtractor protocol drop-in (the same duck type
+``data/prep/still_image_dataset.py:39-85`` defines for MediaPipe).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from surya_tpu.data import synthetic_pose as sp
+from surya_tpu.features import extract_features_47
+from surya_tpu.models.pose import (
+    PoseLandmarkNet,
+    landmark_loss,
+    load_pose_params,
+    neural_landmark_extractor,
+    pck,
+    save_pose_params,
+    soft_argmax_2d,
+)
+
+
+def test_soft_argmax_exact_on_one_hot():
+    h, w = 12, 16
+    heat = np.full((1, h, w, 2), -1e9, np.float32)
+    heat[0, 3, 5, 0] = 0.0   # landmark 0 at row 3, col 5
+    heat[0, 9, 1, 1] = 0.0   # landmark 1 at row 9, col 1
+    xy = np.asarray(soft_argmax_2d(jnp.asarray(heat))[0])
+    np.testing.assert_allclose(xy[0], [(5 + 0.5) / w, (3 + 0.5) / h],
+                               atol=1e-6)
+    np.testing.assert_allclose(xy[1], [(1 + 0.5) / w, (9 + 0.5) / h],
+                               atol=1e-6)
+
+
+def test_forward_contract():
+    model = PoseLandmarkNet(width=16)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(
+        model.init(jax.random.PRNGKey(0), imgs), imgs)
+    lm = out["landmarks"]
+    assert lm.shape == (2, 33, 4) and lm.dtype == jnp.float32
+    assert out["heatmaps"].shape == (2, 16, 16, 33)  # stride 4
+    xy, z, vis = lm[..., :2], lm[..., 2], lm[..., 3]
+    assert bool(jnp.all((xy >= 0) & (xy <= 1)))
+    assert bool(jnp.all((z >= -0.5) & (z <= 0.5)))
+    assert bool(jnp.all((vis >= 0) & (vis <= 1)))
+    assert bool(jnp.all(jnp.isfinite(lm)))
+
+
+def test_renderer_lights_up_joints():
+    xy = jnp.asarray(sp.TEMPLATE_XY)
+    z = jnp.zeros((33,))
+    img = np.asarray(sp.render_pose(xy, z, image_size=64))
+    assert img.shape == (64, 64, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # intensity at each in-frame joint pixel should dominate background
+    total = img.sum(-1)
+    px = np.clip((sp.TEMPLATE_XY * 64).astype(int), 0, 63)
+    joint_vals = total[px[:, 1], px[:, 0]]
+    assert joint_vals.mean() > 5 * total.mean()
+    # left/right colour coding: left wrist (idx 15) lands in channel 0,
+    # right wrist (16) in channel 1
+    lw, rw = px[15], px[16]
+    assert img[lw[1], lw[0], 0] > img[lw[1], lw[0], 1]
+    assert img[rw[1], rw[0], 1] > img[rw[1], rw[0], 0]
+
+
+def test_pose_batch_jit_matches_eager():
+    key = jax.random.PRNGKey(7)
+    eager = sp.make_pose_batch(key, 3, image_size=64)
+    jitted = jax.jit(
+        lambda k: sp.make_pose_batch(k, 3, image_size=64))(key)
+    for a, b in zip(eager, jitted):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    imgs, xy, z, vis = eager
+    assert imgs.shape == (3, 64, 64, 3)
+    assert xy.shape == (3, 33, 2) and z.shape == (3, 33)
+    assert bool(jnp.all((vis >= 0) & (vis <= 1)))
+
+
+def test_train_overfit_improves():
+    """~60 Adam steps on 16 fixed synthetic figures: loss and PCK must
+    both move decisively (SURVEY §4e tiny-train pattern)."""
+    model = PoseLandmarkNet(width=16)
+    imgs, xy, z, vis = jax.tree.map(
+        jnp.asarray, sp.make_pose_batch(jax.random.PRNGKey(0), 16,
+                                        image_size=64))
+    params = model.init(jax.random.PRNGKey(1), imgs)["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, imgs)
+            total, _ = landmark_loss(out, xy, z, vis)
+            return total, out
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss, out
+
+    params0 = params
+    first_loss = None
+    for _ in range(60):
+        params, opt, loss, out = step(params, opt)
+        if first_loss is None:
+            first_loss = float(loss)
+    final_loss = float(loss)
+    assert final_loss < 0.5 * first_loss, (first_loss, final_loss)
+
+    def pck_of(p):
+        out = model.apply({"params": p}, imgs)
+        return float(pck(out["landmarks"][..., :2], xy, vis,
+                         threshold=0.15))
+
+    assert pck_of(params) > pck_of(params0) + 0.2
+
+
+def test_neural_extractor_protocol(tmp_path):
+    from PIL import Image
+
+    model = PoseLandmarkNet(width=16)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+
+    # round-trip the single-file artifact
+    ckpt = str(tmp_path / "pose.msgpack")
+    save_pose_params(ckpt, params)
+    restored = load_pose_params(ckpt, model=model, image_size=64)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, restored)
+
+    ext = neural_landmark_extractor(restored, model=model, image_size=64,
+                                    detection_threshold=-1.0)
+
+    # path-based call (still-image prep contract)
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "frame.png")
+    Image.fromarray(rng.integers(0, 255, (50, 70, 3), np.uint8)).save(path)
+    lm, detected = ext(path)
+    assert lm.shape == (33, 4) and lm.dtype == np.float32
+    assert isinstance(detected, bool) and detected
+
+    # in-memory BGR call (video-loop contract)
+    lm2, d2 = ext.process_array(rng.integers(0, 255, (48, 48, 3),
+                                             np.uint8))
+    assert lm2.shape == (33, 4) and d2
+
+    # unreadable path → MediaPipe-style zeros + not-detected
+    lm3, d3 = ext(str(tmp_path / "missing.png"))
+    assert not d3 and not lm3.any()
+
+    # landmarks feed the 47-feature program end to end; guard-protected
+    # features (normalized distances, variance ratio) may be NaN for a
+    # degenerate random-init pose — that IS the reference contract
+    # (``1_prepare_still_image_dataset.py:33-113`` emits NaN on failed
+    # guards) — but visibilities and angles must be finite.
+    feats = np.asarray(extract_features_47(jnp.asarray(lm)))
+    assert feats.shape == (47,)
+    assert np.isfinite(feats[:41]).all()
+
+
+def test_detection_threshold_gates():
+    """Above-threshold mean visibility required, else zeros+False."""
+    model = PoseLandmarkNet(width=16)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+    ext = neural_landmark_extractor(params, model=model, image_size=64,
+                                    detection_threshold=1.1)  # impossible
+    lm, detected = ext.process_array(
+        np.zeros((32, 32, 3), np.uint8))
+    assert not detected and not lm.any()
