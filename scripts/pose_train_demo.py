@@ -28,6 +28,11 @@ from surya_tpu.core.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 import jax  # noqa: E402
+
+if os.environ.get("POSE_PLATFORM"):  # env var alone is ignored here —
+    # the axon plugin latches the platform; the config API works.
+    jax.config.update("jax_platforms", os.environ["POSE_PLATFORM"])
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import optax  # noqa: E402
@@ -40,10 +45,12 @@ from surya_tpu.models.pose import (  # noqa: E402
     save_pose_params,
 )
 
-SIZE = 256
-BATCH = 64
-WIDTH = 32
-OUT = "runs/pose_landmark"
+# Env knobs (bench.py convention) so a reduced CPU run is possible
+# when the TPU tunnel is down.
+SIZE = int(os.environ.get("POSE_SIZE", "256"))      # divisible by 16
+BATCH = int(os.environ.get("POSE_BATCH", "64"))
+WIDTH = int(os.environ.get("POSE_WIDTH", "32"))
+OUT = os.environ.get("POSE_OUT", "runs/pose_landmark")
 
 
 def main(steps: int = 600) -> None:

@@ -118,7 +118,7 @@ def sample_pose(key: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     frame — their visibility target drops accordingly, like MediaPipe's
     low-visibility scores for out-of-view landmarks).
     """
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     xy = jnp.asarray(TEMPLATE_XY)
 
     # Limb articulation, proximal chains first.
@@ -144,7 +144,7 @@ def sample_pose(key: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     # template height + noise; encoded in render intensity.
     lean = jax.random.uniform(ks[5], minval=-0.35, maxval=0.35)
     z = lean * (jnp.asarray(TEMPLATE_XY)[:, 1] - 0.55)
-    z = z + 0.02 * jax.random.normal(ks[4], z.shape)
+    z = z + 0.02 * jax.random.normal(ks[6], z.shape)
 
     # Visibility target: smoothly drops as a joint leaves the frame.
     inside = jnp.prod(
