@@ -167,6 +167,106 @@ def test_neural_extractor_protocol(tmp_path):
     assert np.isfinite(feats[:41]).all()
 
 
+def test_still_image_prep_mediapipe_free(tmp_path):
+    """L1 prep end to end with the neural extractor: the full
+    pixels→landmarks→47-features→flat-dataset path with zero external
+    pose dependencies (reference requires MediaPipe,
+    ``1_prepare_still_image_dataset.py:30``)."""
+    import csv
+    import json
+    import os
+
+    from PIL import Image
+
+    from surya_tpu.data.prep.frame_renaming import rename_frames
+    from surya_tpu.data.prep.still_image_dataset import (
+        prepare_still_image_dataset,
+    )
+
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    names = [f"vid_mp4-{i:05d}_jpg.rf.h{i}.jpg" for i in (1, 2, 3)]
+    d = raw / "train" / "video_clip_001"
+    d.mkdir(parents=True)
+    for nm in names:
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                     np.uint8)).save(d / nm)
+    renamed = str(tmp_path / "renamed")
+    rename_frames(str(raw), renamed)
+
+    label_csv = tmp_path / "labels.csv"
+    with open(label_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["filename", "label"])
+        w.writeheader()
+        for i, nm in enumerate(names):
+            w.writerow({"filename": nm,
+                        "label": "cobra" if i % 2 == 0 else "plank"})
+
+    model = PoseLandmarkNet(width=16)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32))["params"]
+    ext = neural_landmark_extractor(params, model=model, image_size=64,
+                                    detection_threshold=-1.0)
+
+    out = str(tmp_path / "flat")
+    counts = prepare_still_image_dataset(renamed, out, [str(label_csv)],
+                                         extractor=ext)
+    assert counts["train"] == 3
+    cobra = os.path.join(out, "train", "cobra")
+    imgs = [f for f in os.listdir(cobra) if f.endswith(".jpg")]
+    assert len(imgs) == 2
+    vec = np.load(os.path.join(cobra, imgs[0][:-4] + ".npy"))
+    assert vec.shape == (47,) and np.isfinite(vec[:41]).all()
+    with open(os.path.join(out, "class_feature_means.json")) as f:
+        assert set(json.load(f)) == {"cobra", "plank"}
+
+
+def test_video_inference_with_neural_extractor(tmp_path):
+    """Live-video path (infer/video.py) with the neural landmark net:
+    the complete pixels→landmarks→47-features→classifier→overlay loop
+    with no MediaPipe anywhere (cv2 only for video IO). Exercises the
+    extractor's process_array fast path."""
+    import os
+
+    cv2 = pytest.importorskip("cv2")
+
+    from surya_tpu.core.config import ModelConfig
+    from surya_tpu.infer.video import run_video_inference
+    from surya_tpu.models import get_model
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                        (64, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+
+    pose_model = PoseLandmarkNet(width=16)
+    pose_params = pose_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32))["params"]
+    ext = neural_landmark_extractor(pose_params, model=pose_model,
+                                    image_size=64,
+                                    detection_threshold=-1.0)
+
+    cfg = ModelConfig(name="quadtree", mode="fusion", num_classes=3,
+                      compute_dtype="float32", use_pallas=False)
+    clf = get_model(cfg)
+    variables = clf.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 47)),
+                         train=False)
+
+    out = str(tmp_path / "annot.mp4")
+    recs = run_video_inference(cfg, variables, path, ["a", "b", "c"],
+                               output_path=out, extractor=ext,
+                               batch_size=3, image_size=64)
+    assert len(recs) == 6
+    assert all(r["label"] in "abc" for r in recs)
+    assert os.path.getsize(out) > 0
+
+
 def test_detection_threshold_gates():
     """Above-threshold mean visibility required, else zeros+False."""
     model = PoseLandmarkNet(width=16)
