@@ -118,7 +118,7 @@ def main(steps: int = 600) -> None:
     final = {k: float(v) for k, v in
              jax.device_get(eval_metrics(params, eval_key)).items()}
     ckpt = os.path.join(OUT, "pose_landmark.msgpack")
-    save_pose_params(ckpt, params)
+    save_pose_params(ckpt, params, image_size=SIZE)
     summary = {"steps": steps, "batch": BATCH, "image_size": SIZE,
                "width": WIDTH, "params": n_params,
                "backend": jax.default_backend(),

@@ -146,10 +146,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     ext = None
     if args.pose_ckpt:
-        from surya_tpu.models.pose import (
-            load_pose_params,
-            neural_landmark_extractor,
-        )
-        ext = neural_landmark_extractor(load_pose_params(args.pose_ckpt))
+        from surya_tpu.models.pose import load_pose_extractor
+
+        ext = load_pose_extractor(args.pose_ckpt)
     print(process_image_sequences(args.renamed_root, args.out_root,
                                   extractor=ext, annotate=True))

@@ -196,12 +196,9 @@ def main(argv: list[str] | None = None) -> int:
                       num_classes=len(class_names))
     extractor = None
     if args.pose_ckpt:
-        from surya_tpu.models.pose import (
-            load_pose_params,
-            neural_landmark_extractor,
-        )
-        extractor = neural_landmark_extractor(
-            load_pose_params(args.pose_ckpt))
+        from surya_tpu.models.pose import load_pose_extractor
+
+        extractor = load_pose_extractor(args.pose_ckpt)
     # accepts a CheckpointManager dir, a save_params full-variables
     # tree, or a bare params tree — same contract as every other CLI
     variables = load_checkpoint_variables(args.params_path)

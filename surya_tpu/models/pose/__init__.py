@@ -1,6 +1,7 @@
 from surya_tpu.models.pose.landmark_net import (  # noqa: F401
     PoseLandmarkNet,
     landmark_loss,
+    load_pose_extractor,
     load_pose_params,
     neural_landmark_extractor,
     pck,

@@ -186,25 +186,77 @@ def pck(pred_xy: jnp.ndarray, target_xy: jnp.ndarray,
     return jnp.sum(mask * hit) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def save_pose_params(path: str, params) -> None:
-    """Single-file msgpack artifact (flax.serialization)."""
+def save_pose_params(path: str, params, image_size: int = 256) -> None:
+    """Single-file msgpack artifact (flax.serialization).
+
+    Self-describing: carries ``width`` (inferred from the stem kernel)
+    and the training ``image_size`` so loaders need no out-of-band
+    config to rebuild the model or size the extractor's resize.
+    """
     import flax.serialization
 
+    state = flax.serialization.to_state_dict(params)
+    payload = {
+        "meta": {"format": 1,
+                 "width": int(np.asarray(state["stem"]["kernel"]).shape[-1]),
+                 "image_size": int(image_size)},
+        "params": state,
+    }
     with open(path, "wb") as f:
-        f.write(flax.serialization.to_bytes(params))
+        f.write(flax.serialization.msgpack_serialize(payload))
+
+
+def _restore_artifact(path: str) -> tuple[dict, dict]:
+    """Read a pose artifact → (state_dict, meta). Handles both the
+    self-describing format-1 payload and legacy flat param dumps
+    (meta then inferred: width from the stem kernel, image_size
+    defaulted)."""
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and set(raw) == {"meta", "params"}:
+        return raw["params"], dict(raw["meta"])
+    width = int(np.asarray(raw["stem"]["kernel"]).shape[-1])
+    return raw, {"format": 0, "width": width, "image_size": 256}
 
 
 def load_pose_params(path: str, model: PoseLandmarkNet | None = None,
-                     image_size: int = 256):
-    """Load a ``save_pose_params`` artifact into a fresh param tree."""
+                     image_size: int | None = None):
+    """Load a ``save_pose_params`` artifact into a fresh param tree.
+
+    ``model``/``image_size`` override the artifact's own metadata (only
+    needed for legacy flat artifacts of non-default geometry)."""
     import flax.serialization
 
-    model = model or PoseLandmarkNet()
+    state, meta = _restore_artifact(path)
+    model = model or PoseLandmarkNet(width=meta["width"])
+    size = image_size or meta["image_size"]
     template = model.init(
         jax.random.PRNGKey(0),
-        jnp.zeros((1, image_size, image_size, 3), jnp.float32))["params"]
-    with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        jnp.zeros((1, size, size, 3), jnp.float32))["params"]
+    return flax.serialization.from_state_dict(template, state)
+
+
+def load_pose_extractor(path: str, detection_threshold: float = 0.3,
+                        image_size: int | None = None):
+    """One call: artifact path → ready ``LandmarkExtractor``.
+
+    Rebuilds the model at the artifact's own width and resizes inputs
+    to its training ``image_size`` — what the ``--pose-ckpt`` CLIs use
+    so a non-default-geometry checkpoint just works."""
+    import flax.serialization
+
+    state, meta = _restore_artifact(path)
+    model = PoseLandmarkNet(width=meta["width"])
+    size = image_size or meta["image_size"]
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3), jnp.float32))["params"]
+    params = flax.serialization.from_state_dict(template, state)
+    return neural_landmark_extractor(
+        params, model=model, image_size=size,
+        detection_threshold=detection_threshold)
 
 
 def neural_landmark_extractor(params, model: PoseLandmarkNet | None = None,

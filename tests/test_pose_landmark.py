@@ -167,6 +167,43 @@ def test_neural_extractor_protocol(tmp_path):
     assert np.isfinite(feats[:41]).all()
 
 
+def test_self_describing_artifact(tmp_path):
+    """A non-default-geometry checkpoint loads with NO out-of-band
+    config: ``load_pose_extractor(path)`` rebuilds the right width and
+    resizes to the training image_size from the artifact's own
+    metadata. Legacy flat dumps (pre-format-1) still load, width
+    inferred from the stem kernel."""
+    import flax.serialization
+
+    from surya_tpu.models.pose import load_pose_extractor
+
+    model = PoseLandmarkNet(width=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 96, 96, 3), jnp.float32))["params"]
+
+    ckpt = str(tmp_path / "pose16.msgpack")
+    save_pose_params(ckpt, params, image_size=96)
+    ext = load_pose_extractor(ckpt, detection_threshold=-1.0)
+    rng = np.random.default_rng(0)
+    lm, detected = ext.process_array(
+        rng.integers(0, 255, (40, 60, 3), np.uint8))
+    assert lm.shape == (33, 4) and detected
+
+    # geometry travels with the file, not the loader call
+    restored = load_pose_params(ckpt)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, restored)
+
+    # legacy flat artifact (what round-2 runs before the format existed
+    # wrote): width still inferred, image_size falls back to 256
+    legacy = str(tmp_path / "legacy.msgpack")
+    with open(legacy, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+    restored2 = load_pose_params(legacy, image_size=96)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, restored2)
+
+
 def test_still_image_prep_mediapipe_free(tmp_path):
     """L1 prep end to end with the neural extractor: the full
     pixels→landmarks→47-features→flat-dataset path with zero external
