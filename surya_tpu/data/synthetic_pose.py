@@ -77,10 +77,14 @@ _BONE_SPEC = (
 BONES = np.asarray([b for b, _ in _BONE_SPEC], np.int32)        # (K, 2)
 BONE_CHANNEL = np.asarray([c for _, c in _BONE_SPEC], np.int32)  # (K,)
 
-# Joint blob channel by side: odd-numbered MediaPipe landmarks are
-# left-side, even right-side, except the midline nose (0 → torso ch).
+# Joint blob channel by side. From landmark 7 (ears) on, MediaPipe
+# numbering alternates odd=left / even=right; the eye landmarks don't
+# (1-3 are ALL left eye inner/center/outer, 4-6 all right eye), and the
+# midline nose (0) gets the torso channel.
 JOINT_CHANNEL = np.asarray(
-    [2] + [0 if i % 2 == 1 else 1 for i in range(1, L.NUM_LANDMARKS)],
+    [2]
+    + [0] * 3 + [1] * 3                                  # eyes L, R
+    + [0 if i % 2 == 1 else 1 for i in range(7, L.NUM_LANDMARKS)],
     np.int32)
 
 # Articulation chains: (pivot, moved landmark indices). Rotating each

@@ -101,25 +101,36 @@ def run_video_inference(cfg: ModelConfig, variables, video_path: str,
     done = False
     while not done:
         # collect a batch of frames
-        frames_bgr, lms, det = [], [], []
+        frames_bgr = []
         while len(frames_bgr) < batch_size:
             ok, frame = cap.read()
             if not ok:
                 done = True
                 break
             frames_bgr.append(frame)
-            # landmark extraction is path-based; give it the frame via a
-            # temp file only if the extractor needs a path
-            if hasattr(extractor, "process_array"):
-                lm, d = extractor.process_array(frame)
-            else:
-                with tempfile.NamedTemporaryFile(suffix=".jpg") as tf:
-                    cv2.imwrite(tf.name, frame)
-                    lm, d = extractor(tf.name)
-            lms.append(lm)
-            det.append(d)
         if not frames_bgr:
             break
+
+        if hasattr(extractor, "process_batch"):
+            # device-dispatched extractors (the neural landmark net):
+            # ONE program launch for the whole batch — per-frame calls
+            # would be tunnel-RPC-bound
+            results = extractor.process_batch(frames_bgr)
+            lms = [lm for lm, _ in results]
+            det = [d for _, d in results]
+        else:
+            lms, det = [], []
+            for frame in frames_bgr:
+                # landmark extraction is path-based; give it the frame
+                # via a temp file only if the extractor needs a path
+                if hasattr(extractor, "process_array"):
+                    lm, d = extractor.process_array(frame)
+                else:
+                    with tempfile.NamedTemporaryFile(suffix=".jpg") as tf:
+                        cv2.imwrite(tf.name, frame)
+                        lm, d = extractor(tf.name)
+                lms.append(lm)
+                det.append(d)
 
         rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
                         for f in frames_bgr]).astype(np.float32) / 255.0

@@ -81,6 +81,11 @@ class PoseLandmarkNet(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        if self.width % 8:
+            raise ValueError(
+                f"PoseLandmarkNet width must be divisible by 8 (the "
+                f"GroupNorm group count), got {self.width}")
+
         def conv(f, name, strides=1, kernel=3):
             return nn.Conv(f, (kernel, kernel), strides=(strides, strides),
                            use_bias=False, dtype=self.dtype,
@@ -221,12 +226,9 @@ def _restore_artifact(path: str) -> tuple[dict, dict]:
     return raw, {"format": 0, "width": width, "image_size": 256}
 
 
-def load_pose_params(path: str, model: PoseLandmarkNet | None = None,
-                     image_size: int | None = None):
-    """Load a ``save_pose_params`` artifact into a fresh param tree.
-
-    ``model``/``image_size`` override the artifact's own metadata (only
-    needed for legacy flat artifacts of non-default geometry)."""
+def _load_artifact(path: str, model: PoseLandmarkNet | None = None,
+                   image_size: int | None = None):
+    """Shared restoration path → (params, model, image_size)."""
     import flax.serialization
 
     state, meta = _restore_artifact(path)
@@ -235,7 +237,16 @@ def load_pose_params(path: str, model: PoseLandmarkNet | None = None,
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, size, size, 3), jnp.float32))["params"]
-    return flax.serialization.from_state_dict(template, state)
+    return flax.serialization.from_state_dict(template, state), model, size
+
+
+def load_pose_params(path: str, model: PoseLandmarkNet | None = None,
+                     image_size: int | None = None):
+    """Load a ``save_pose_params`` artifact into a fresh param tree.
+
+    ``model``/``image_size`` override the artifact's own metadata (only
+    needed for legacy flat artifacts of non-default geometry)."""
+    return _load_artifact(path, model, image_size)[0]
 
 
 def load_pose_extractor(path: str, detection_threshold: float = 0.3,
@@ -245,15 +256,7 @@ def load_pose_extractor(path: str, detection_threshold: float = 0.3,
     Rebuilds the model at the artifact's own width and resizes inputs
     to its training ``image_size`` — what the ``--pose-ckpt`` CLIs use
     so a non-default-geometry checkpoint just works."""
-    import flax.serialization
-
-    state, meta = _restore_artifact(path)
-    model = PoseLandmarkNet(width=meta["width"])
-    size = image_size or meta["image_size"]
-    template = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, size, size, 3), jnp.float32))["params"]
-    params = flax.serialization.from_state_dict(template, state)
+    params, model, size = _load_artifact(path, image_size=image_size)
     return neural_landmark_extractor(
         params, model=model, image_size=size,
         detection_threshold=detection_threshold)
@@ -268,22 +271,34 @@ def neural_landmark_extractor(params, model: PoseLandmarkNet | None = None,
     (``data/prep/still_image_dataset.py:45-85``): callable on an image
     path returning ((33,4) float32, detected: bool), with a
     ``process_array`` attribute taking an in-memory BGR uint8 frame
-    (what ``infer/video.py`` feeds). ``detected`` = mean predicted
-    visibility above ``detection_threshold``, mirroring MediaPipe's
-    no-pose → zeros contract (``still_image_dataset.py:71-72``).
+    (what ``infer/video.py`` feeds) and a ``process_batch`` attribute
+    taking a LIST of BGR frames — one device dispatch for the whole
+    batch, which matters here because (unlike host-CPU MediaPipe) each
+    call is a TPU program launch and per-frame dispatch would be
+    tunnel-RPC-bound. ``detected`` = mean predicted visibility above
+    ``detection_threshold``, mirroring MediaPipe's no-pose → zeros
+    contract (``still_image_dataset.py:71-72``).
+
+    The jitted forward takes the weights as an ARGUMENT (not a
+    closure), so the compiled program is checkpoint-independent and the
+    persistent compilation cache (``core/cache.py``) hits across
+    retrained ``--pose-ckpt`` files.
     """
     from PIL import Image
 
     model = model or PoseLandmarkNet()
     fwd = jax.jit(
-        lambda imgs: model.apply({"params": params}, imgs)["landmarks"])
+        lambda p, imgs: model.apply({"params": p}, imgs)["landmarks"])
 
-    def _run(rgb_f32: np.ndarray) -> tuple[np.ndarray, bool]:
-        lm = np.asarray(fwd(rgb_f32[None])[0], np.float32)
+    def _decode(lm: np.ndarray) -> tuple[np.ndarray, bool]:
         detected = bool(lm[:, 3].mean() > detection_threshold)
         if not detected:
             return np.zeros((NUM_LANDMARKS, 4), np.float32), False
         return lm, True
+
+    def _run(rgb_f32: np.ndarray) -> tuple[np.ndarray, bool]:
+        return _decode(np.asarray(fwd(params, rgb_f32[None])[0],
+                                  np.float32))
 
     def _prep(img: Image.Image) -> np.ndarray:
         img = img.convert("RGB").resize((image_size, image_size),
@@ -294,6 +309,23 @@ def neural_landmark_extractor(params, model: PoseLandmarkNet | None = None,
         rgb = Image.fromarray(np.ascontiguousarray(img_bgr[..., ::-1]))
         return _run(_prep(rgb))
 
+    def process_batch(frames_bgr) -> list[tuple[np.ndarray, bool]]:
+        if not len(frames_bgr):
+            return []
+        batch = np.stack([
+            _prep(Image.fromarray(np.ascontiguousarray(f[..., ::-1])))
+            for f in frames_bgr])
+        # pad the batch dim to a power of two so a video's final
+        # partial batch doesn't trigger a fresh (remote) XLA compile
+        n = len(batch)
+        n_pad = 1 << (n - 1).bit_length()
+        if n_pad != n:
+            batch = np.concatenate(
+                [batch, np.zeros((n_pad - n,) + batch.shape[1:],
+                                 batch.dtype)])
+        lms = np.asarray(fwd(params, batch)[:n], np.float32)
+        return [_decode(lm) for lm in lms]
+
     def extract(image_path: str):
         try:
             img = Image.open(image_path)
@@ -302,4 +334,5 @@ def neural_landmark_extractor(params, model: PoseLandmarkNet | None = None,
         return _run(_prep(img))
 
     extract.process_array = process_array
+    extract.process_batch = process_batch
     return extract

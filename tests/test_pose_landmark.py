@@ -204,6 +204,49 @@ def test_self_describing_artifact(tmp_path):
         np.asarray(a), np.asarray(b)), params, restored2)
 
 
+def test_process_batch_matches_single():
+    """The batched video path (one device dispatch per batch, padded to
+    a power of two) agrees with per-frame process_array, mixed frame
+    sizes included; empty input → empty output."""
+    model = PoseLandmarkNet(width=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))["params"]
+    ext = neural_landmark_extractor(params, model=model, image_size=64,
+                                    detection_threshold=-1.0)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (h, w, 3), np.uint8)
+              for h, w in ((48, 48), (50, 70), (64, 64), (40, 60),
+                           (48, 48))]                    # 5 → pads to 8
+    batched = ext.process_batch(frames)
+    assert len(batched) == 5
+    for frame, (lm_b, det_b) in zip(frames, batched):
+        lm_s, det_s = ext.process_array(frame)
+        assert det_b == det_s
+        np.testing.assert_allclose(lm_b, lm_s, atol=2e-2)
+    assert ext.process_batch([]) == []
+
+
+def test_width_must_divide_group_count():
+    with pytest.raises(ValueError, match="divisible by 8"):
+        PoseLandmarkNet(width=12).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+
+def test_joint_channel_chirality():
+    """Side channels follow the MediaPipe topology: 1-3 are ALL left
+    eye, 4-6 all right eye (the odd/even rule only starts at the ears)
+    — regression for the mis-sided eye-center blobs."""
+    jc = sp.JOINT_CHANNEL
+    assert jc[0] == 2                                    # nose: torso ch
+    assert (jc[1:4] == 0).all() and (jc[4:7] == 1).all()  # eyes
+    # ears/mouth/shoulders…: odd = left, even = right
+    assert all(jc[i] == (0 if i % 2 else 1) for i in range(7, 33))
+    # bones agree with their joints' sides
+    for (a, b), ch in zip(sp.BONES, sp.BONE_CHANNEL):
+        if ch in (0, 1):
+            assert jc[a] == ch or jc[b] == ch
+
+
 def test_still_image_prep_mediapipe_free(tmp_path):
     """L1 prep end to end with the neural extractor: the full
     pixels→landmarks→47-features→flat-dataset path with zero external
