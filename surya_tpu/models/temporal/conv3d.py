@@ -57,6 +57,13 @@ class Ji3DCNN(nn.Module):
     def __call__(self, image_sequence, numerical_sequence,
                  train: bool = False):
         """image_sequence (B,T,H,W,3) NDHWC; numerical (B,T,47)."""
+        if image_sequence.shape[1] < 2:
+            raise ValueError(
+                f"Ji3DCNN needs seq_len >= 2 to survive its (2,2,2) "
+                f"temporal pooling, got T={image_sequence.shape[1]} — a "
+                f"shorter clip would pool to a zero-size temporal dim "
+                f"(torch raises 'Output size is too small' here, "
+                f"cnn+lstm/models.py:99-106)")
         x = image_sequence.astype(self.dtype)
         x = _conv3d_block(x, 32, self.dtype, train, "block1")
         x = _pool3d(x, (1, 2, 2))
@@ -90,6 +97,15 @@ class Quadtree3DCNN(nn.Module):
                  train: bool = False):
         if self.mode not in QT3D_MODES:
             raise ValueError(f"mode must be one of {QT3D_MODES}")
+        if image_sequence.shape[1] < 4:
+            raise ValueError(
+                f"Quadtree3DCNN needs seq_len >= 4 to survive its two "
+                f"(2,2,2) temporal poolings, got "
+                f"T={image_sequence.shape[1]} — a shorter clip pools to "
+                f"a zero-size temporal dim whose mean is silently NaN "
+                f"(torch raises 'Output size is too small'; the "
+                f"reference trains with T=5, "
+                f"3dcnn/train_3D_Quadtree_cnn_model.py:35)")
         block = partial(_conv3d_block, dtype=self.dtype, train=train)
 
         x = image_sequence.astype(self.dtype)
