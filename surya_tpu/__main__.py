@@ -10,6 +10,7 @@ overrides).
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
+  python -m surya_tpu pose-train [--steps N] [--width W] [--out DIR]
 """
 
 from __future__ import annotations
@@ -342,6 +343,33 @@ def cmd_pack(argv: list[str]) -> int:
     return 0
 
 
+def cmd_pose_train(argv: list[str]) -> int:
+    """Train the TPU-native pose-landmark net (the MediaPipe stand-in)
+    on the on-device synthetic generator; the checkpoint feeds
+    --pose-ckpt in the video / still-image-prep / sequence-prep CLIs."""
+    import argparse
+
+    from surya_tpu.models.pose import train_pose_landmark
+
+    ap = argparse.ArgumentParser(prog="surya_tpu pose-train")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--image-size", type=int, default=256,
+                    help="training resolution (divisible by 16); "
+                         "stored in the checkpoint")
+    ap.add_argument("--width", type=int, default=32,
+                    help="base channel width (divisible by 8)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="runs/pose_landmark")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    summary = train_pose_landmark(
+        steps=args.steps, batch=args.batch, image_size=args.image_size,
+        width=args.width, out_dir=args.out, peak_lr=args.lr,
+        seed=args.seed)
+    return 0 if summary["pck10"] > 0 else 1
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -381,6 +409,8 @@ def main() -> int:
         return video_main(argv)
     if cmd == "export":
         return cmd_export(argv)
+    if cmd == "pose-train":
+        return cmd_pose_train(argv)
     if cmd == "check":
         return cmd_check()
     if cmd == "bench":

@@ -8,3 +8,4 @@ from surya_tpu.models.pose.landmark_net import (  # noqa: F401
     save_pose_params,
     soft_argmax_2d,
 )
+from surya_tpu.models.pose.train import train_pose_landmark  # noqa: F401

@@ -64,6 +64,31 @@ def test_train_and_eval_cli(tmp_path, capsys):
     assert all("_pred_" in f for f in jpgs)
 
 
+def test_pose_train_cli(tmp_path, capsys):
+    """pose-train end to end at reduced geometry: trains on the
+    on-device generator, writes JSONL + summary + a self-describing
+    checkpoint that load_pose_extractor reads with no config."""
+    from surya_tpu.__main__ import cmd_pose_train
+
+    out_dir = str(tmp_path / "pose")
+    rc = cmd_pose_train(["--steps", "4", "--batch", "4",
+                         "--image-size", "48", "--width", "8",
+                         "--out", out_dir])
+    assert rc == 0
+    summary = json.loads(
+        open(os.path.join(out_dir, "summary.json")).read())
+    assert summary["width"] == 8 and summary["image_size"] == 48
+    assert os.path.exists(os.path.join(out_dir, "train.jsonl"))
+
+    from surya_tpu.models.pose import load_pose_extractor
+
+    ext = load_pose_extractor(summary["checkpoint"],
+                              detection_threshold=-1.0)
+    lm, det = ext.process_array(
+        np.zeros((32, 32, 3), np.uint8))
+    assert lm.shape == (33, 4) and det
+
+
 def test_main_unknown_command(capsys):
     from surya_tpu.__main__ import main
 
