@@ -71,6 +71,32 @@ def trainable_mask(params, model_name: str, freeze_backbone: bool):
     return traverse_util.unflatten_dict(out)
 
 
+def stop_frozen_gradients(params, model_name: str, freeze_backbone: bool):
+    """Wrap frozen leaves in ``stop_gradient`` so the backbone backward
+    pass is never built.
+
+    The optax freeze mask (``set_to_zero``) only discards frozen
+    gradients AFTER they are computed — ``value_and_grad`` over the full
+    param tree still differentiates through the frozen trunk/ViT, which
+    for the frozen families (``cnn+lstm/models.py:26-27``,
+    ``experiment/models_cnn.py:16-17``, FACT's frozen ViT) is the vast
+    majority of the step's FLOPs (backward ≈ 2× forward). Stopping the
+    gradient at the frozen *param leaves* makes JAX's transpose emit
+    symbolic zeros for them, and every backward op feeding only those
+    cotangents is pruned from the jaxpr. Numerics are identical: the
+    forward is untouched, frozen grads were already zeroed by the mask,
+    and the global-norm clip inside ``multi_transform`` only ever saw
+    the trainable subset. Partial unfreezing (r3d_18 ``layer4``) still
+    gets exact layer4 grads — the cotangent reaches layer4's params
+    directly without flowing into the frozen layers upstream of it.
+    """
+    if not freeze_backbone:
+        return params
+    mask = trainable_mask(params, model_name, True)
+    return jax.tree.map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p), params, mask)
+
+
 def make_optimizer(cfg: Config, params):
     """inject_hyperparams(adamw [+clip]) with optional freeze mask."""
     def build(learning_rate):
@@ -133,7 +159,11 @@ def make_train_step(model: nn.Module, tx, cfg: Config, mesh=None,
     smoothing = cfg.train.label_smoothing
     nan_guard = cfg.train.nan_guard
 
+    model_name = cfg.model.name
+    freeze = cfg.model.freeze_backbone
+
     def apply(params, batch_stats, images, feats, rng):
+        params = stop_frozen_gradients(params, model_name, freeze)
         variables = {"params": params, "batch_stats": batch_stats}
         logits, updated = model.apply(
             variables, images, feats, train=True,
