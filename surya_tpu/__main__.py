@@ -8,6 +8,7 @@ overrides).
   python -m surya_tpu bench
   python -m surya_tpu pack --root DATA --out DIR [--staging 256]
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
+  python -m surya_tpu export-torch CKPT out.pth [--preset P]
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
   python -m surya_tpu pose-train [--steps N] [--width W] [--out DIR]
@@ -221,6 +222,55 @@ def cmd_export(argv: list[str]) -> int:
     return 0
 
 
+def cmd_export_torch(argv: list[str]) -> int:
+    """Export a trained checkpoint as a reference-named torch
+    state_dict (models/full_export.py — the inverse of full_import):
+    the resulting ``.pth`` loads directly into the reference's own
+    ``get_model`` via ``load_state_dict``."""
+    import argparse
+
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.models.full_export import EXPORTERS
+
+    ap = argparse.ArgumentParser(prog="surya_tpu export-torch")
+    ap.add_argument("checkpoint")
+    ap.add_argument("out", help="output path (.pth; .npz if torch "
+                                "is unavailable)")
+    ap.add_argument("--preset", default="quadtree-fusion")
+    args, rest = ap.parse_known_args(argv)
+    cfg = get_preset(args.preset)
+    if rest:
+        cfg = cfg.override(parse_cli_overrides(rest))
+    name = cfg.model.name
+    if name not in EXPORTERS:
+        print(f"no torch exporter for model {name!r}")
+        return 1
+    variables = load_checkpoint_variables(args.checkpoint)
+    kw = {}
+    if name in ("quadtree", "quadtree_3d", "hybrid_quadtree_3d"):
+        kw["mode"] = cfg.model.mode
+    if name == "standard_multimodal":
+        kw["backbone"] = cfg.model.backbone
+    sd = EXPORTERS[name](variables, **kw)
+    try:
+        import torch
+
+        torch.save({k: torch.from_numpy(v.copy()) if v.ndim else
+                    torch.tensor(v) for k, v in sd.items()}, args.out)
+        fmt = "torch"
+    except ImportError:
+        import numpy as np
+
+        out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+        np.savez(out, **sd)
+        args.out, fmt = out, "npz"
+    print(json.dumps({"artifact": os.path.abspath(args.out),
+                      "format": fmt, "model": name,
+                      "tensors": len(sd)}))
+    return 0
+
+
 def cmd_check() -> int:
     """Environment check (parity with the reference's standalone smoke
     scripts: Zero123/check_zero123plus.py, check_model.py,
@@ -409,6 +459,8 @@ def main() -> int:
         return video_main(argv)
     if cmd == "export":
         return cmd_export(argv)
+    if cmd == "export-torch":
+        return cmd_export_torch(argv)
     if cmd == "pose-train":
         return cmd_pose_train(argv)
     if cmd == "check":
