@@ -90,9 +90,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Single-process (the common case): one ``device_put`` per leaf.
+
+    Multi-host (``jax.distributed.initialize`` ran — SURVEY §5.8): every
+    process builds the SAME global batch (data sources are seeded
+    identically across hosts), this host's contiguous row-slice is cut
+    out, and ``jax.make_array_from_process_local_data`` assembles the
+    global array from per-process shards — no cross-host transfer; each
+    host only feeds its own chips over PCIe, DCN carries nothing for
+    input. Host-side decode cost still scales with the global batch
+    under this scheme; the packed memmap cache (data/packed.py) makes
+    that read ~free, which is why no per-host file-list sharding layer
+    exists.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))),
+            batch)
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+        lambda x: _shard_batch_multiprocess(mesh, x, nproc,
+                                            jax.process_index()), batch)
+
+
+def _shard_batch_multiprocess(mesh: Mesh, x, nproc: int, rank: int):
+    """Assemble a globally-sharded array from this host's row slice."""
+    n = np.shape(x)[0]
+    if n % nproc:
+        raise ValueError(
+            f"global batch {n} not divisible by process count {nproc}")
+    per = n // nproc
+    local = np.asarray(x)[rank * per:(rank + 1) * per]
+    return jax.make_array_from_process_local_data(
+        data_sharding(mesh, np.ndim(x)), local)
 
 
 def replicate(mesh: Mesh, tree):
