@@ -111,6 +111,24 @@ def test_partial_unfreeze_layer4_still_updates(mesh8):
     assert layer4_moved, "layer4 got no updates under partial unfreeze"
 
 
+def test_elision_composes_with_remat(mesh8):
+    """jax.checkpoint wraps an apply that stop_gradients frozen leaves;
+    remat recomputes the trunk forward in the backward (its activations
+    feed the trainable heads' grads) but the pruned transpose stays
+    pruned — updates must match the non-remat frozen step exactly."""
+    batch = _spatial_batch()
+    outs = []
+    for remat in (False, True):
+        cfg = _cfg("quadtree", mode="fusion")
+        cfg = cfg.override({"train.remat": str(remat).lower()})
+        outs.append(_one_step(cfg, batch, mesh8, elide=True))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][1]),
+                    jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_frozen_backward_is_pruned(mesh8):
     """Conv count in the lowered step: frozen ≈ forward-only."""
     batch = _spatial_batch()
