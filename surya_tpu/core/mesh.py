@@ -96,35 +96,68 @@ def shard_batch(mesh: Mesh, batch):
 
     Multi-host (``jax.distributed.initialize`` ran — SURVEY §5.8): every
     process builds the SAME global batch (data sources are seeded
-    identically across hosts), this host's contiguous row-slice is cut
-    out, and ``jax.make_array_from_process_local_data`` assembles the
-    global array from per-process shards — no cross-host transfer; each
-    host only feeds its own chips over PCIe, DCN carries nothing for
-    input. Host-side decode cost still scales with the global batch
-    under this scheme; the packed memmap cache (data/packed.py) makes
-    that read ~free, which is why no per-host file-list sharding layer
-    exists.
+    identically across hosts), the row range this host's devices
+    actually address is cut out, and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    array from per-process shards — no cross-host transfer; each host
+    only feeds its own chips over PCIe, DCN carries nothing for input.
+    The range comes from the sharding itself, NOT ``process_index``:
+    when the batch axis is replicated over this host's devices (e.g. a
+    cross-host tensor-parallel mesh with data=1) every host must supply
+    ALL rows, and data shards need not align with process boundaries.
+    Host-side decode cost still scales with the global batch under this
+    scheme; the packed memmap cache (data/packed.py) makes that read
+    ~free, which is why no per-host file-list sharding layer exists.
     """
-    nproc = jax.process_count()
-    if nproc == 1:
+    if jax.process_count() == 1:
         return jax.tree.map(
             lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))),
             batch)
     return jax.tree.map(
-        lambda x: _shard_batch_multiprocess(mesh, x, nproc,
-                                            jax.process_index()), batch)
+        lambda x: _shard_batch_multiprocess(mesh, x), batch)
 
 
-def _shard_batch_multiprocess(mesh: Mesh, x, nproc: int, rank: int):
-    """Assemble a globally-sharded array from this host's row slice."""
-    n = np.shape(x)[0]
-    if n % nproc:
+def _addressable_row_span(sharding: NamedSharding,
+                          global_shape: tuple[int, ...]) -> tuple[int, int]:
+    """Contiguous ``[start, stop)`` of global batch rows addressed by this
+    process's devices, derived from the sharding's own index map.
+
+    Replicas of an unsharded batch dim address all rows (start=0,
+    stop=n); a data-sharded dim yields the union of this host's shard
+    spans. jax's ``_array_from_process_local_data`` maps the local
+    chunk onto shards by ranking shard start offsets, which requires
+    the local rows to be exactly this union, in order — slicing by
+    ``process_index`` instead silently feeds divergent data whenever
+    shards don't align with process boundaries.
+    """
+    n = global_shape[0]
+    idx_map = sharding.addressable_devices_indices_map(global_shape)
+    spans = sorted({(sl[0].start or 0, n if sl[0].stop is None else sl[0].stop)
+                    for sl in idx_map.values()})
+    start, stop = spans[0]
+    for s2, e2 in spans[1:]:
+        if s2 != stop:
+            raise ValueError(
+                "addressable batch rows for this process are "
+                f"non-contiguous ({spans}); reorder the mesh so each "
+                "host's data shards are adjacent")
+        stop = e2
+    return start, stop
+
+
+def _shard_batch_multiprocess(mesh: Mesh, x):
+    """Assemble a globally-sharded array from this host's row range."""
+    sharding = data_sharding(mesh, np.ndim(x))
+    global_shape = np.shape(x)
+    ddim = mesh.shape[DATA_AXIS]
+    if global_shape[0] % ddim:
         raise ValueError(
-            f"global batch {n} not divisible by process count {nproc}")
-    per = n // nproc
-    local = np.asarray(x)[rank * per:(rank + 1) * per]
+            f"global batch {global_shape[0]} not divisible by "
+            f"data-axis size {ddim}")
+    start, stop = _addressable_row_span(sharding, global_shape)
+    local = np.asarray(x)[start:stop]
     return jax.make_array_from_process_local_data(
-        data_sharding(mesh, np.ndim(x)), local)
+        sharding, local, global_shape)
 
 
 def replicate(mesh: Mesh, tree):

@@ -4,11 +4,14 @@ True multi-process JAX can't run on this single host (and two
 concurrent XLA CPU clients are unstable here — CLAUDE.md), so these
 tests pin the pieces that ARE verifiable in one process:
 
-- the per-process assembly (`_shard_batch_multiprocess`) with
-  nproc=1/rank=0 must reproduce the plain device_put sharding exactly
+- the per-process assembly (`_shard_batch_multiprocess`) must
+  reproduce the plain device_put sharding exactly
   (`make_array_from_process_local_data` degenerates to it);
-- simulated multi-process row-slicing: cutting each rank's slice and
-  re-concatenating covers the global batch exactly once, in order;
+- the local row range is derived from the sharding's addressable
+  indices, not process_index: an unsharded batch axis (cross-host
+  tensor parallelism, data=1) must demand ALL rows on every host,
+  and a sharded one must demand exactly the union of this host's
+  shard spans;
 - indivisible global batches fail loudly.
 """
 
@@ -16,7 +19,11 @@ import numpy as np
 import pytest
 
 from surya_tpu.core.mesh import (
+    MeshSpec,
+    _addressable_row_span,
     _shard_batch_multiprocess,
+    create_mesh,
+    data_sharding,
     shard_batch,
 )
 
@@ -31,23 +38,44 @@ def _batch(n=16):
 def test_single_process_assembly_matches_device_put(mesh8):
     batch = _batch()
     via_put = shard_batch(mesh8, batch)       # nproc==1 fast path
-    via_mpl = tuple(_shard_batch_multiprocess(mesh8, x, 1, 0)
-                    for x in batch)
+    via_mpl = tuple(_shard_batch_multiprocess(mesh8, x) for x in batch)
     for a, b in zip(via_put, via_mpl):
         assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_rank_slices_tile_the_global_batch():
-    x = np.arange(16 * 3).reshape(16, 3)
-    nproc = 4
-    per = 16 // nproc
-    slices = [np.asarray(x)[r * per:(r + 1) * per] for r in range(nproc)]
-    np.testing.assert_array_equal(np.concatenate(slices), x)
-    assert all(s.shape[0] == per for s in slices)
+def test_replicated_batch_axis_demands_all_rows():
+    """data=1, model=8: every device replicates the batch, so every
+    host must supply the FULL global batch — the process_index-slicing
+    bug this guards against fed each host a divergent half."""
+    mesh = create_mesh(MeshSpec(data=1, model=8))
+    sh = data_sharding(mesh, 2)
+    assert _addressable_row_span(sh, (16, 4)) == (0, 16)
+    out = _shard_batch_multiprocess(mesh, np.arange(32.).reshape(16, 2))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.arange(32.).reshape(16, 2))
+
+
+def test_sharded_batch_axis_span_is_shard_union(mesh8):
+    """data=8 in one process: the union of all 8 shard spans is the
+    whole batch; in a real 2-host run each host's map would contain
+    only its 4 shards and the span would be its contiguous half."""
+    sh = data_sharding(mesh8, 2)
+    assert _addressable_row_span(sh, (16, 4)) == (0, 16)
+
+
+def test_mixed_mesh_span(mesh8):
+    """data=4, model=2: model replicas share spans (deduped), the
+    four data shards tile the batch."""
+    mesh = create_mesh(MeshSpec(data=4, model=2))
+    sh = data_sharding(mesh, 2)
+    assert _addressable_row_span(sh, (8, 3)) == (0, 8)
+    out = _shard_batch_multiprocess(mesh, np.arange(24.).reshape(8, 3))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.arange(24.).reshape(8, 3))
 
 
 def test_indivisible_batch_raises(mesh8):
     x = np.zeros((10, 4), np.float32)
     with pytest.raises(ValueError, match="not divisible"):
-        _shard_batch_multiprocess(mesh8, x, 4, 0)
+        _shard_batch_multiprocess(mesh8, x)
