@@ -207,14 +207,22 @@ def cmd_export(argv: list[str]) -> int:
     ap.add_argument("out", help="output artifact path (.stablehlo)")
     ap.add_argument("--preset", default="quadtree-fusion")
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--param-dtype", default=None,
+                    choices=["bfloat16", "float16", "float32"],
+                    help="cast baked-in weights (bfloat16 roughly "
+                         "halves the artifact; BN stats stay f32)")
     args, rest = ap.parse_known_args(argv)
     cfg = get_preset(args.preset)
     if rest:
         cfg = cfg.override(parse_cli_overrides(rest))
     variables = load_checkpoint_variables(args.checkpoint)
+    import jax.numpy as jnp
+
     export_model(cfg.model, variables, args.out,
                  batch_size=args.batch_size,
-                 image_size=cfg.data.image_size)
+                 image_size=cfg.data.image_size,
+                 param_dtype=(None if args.param_dtype is None
+                              else jnp.dtype(args.param_dtype)))
     print(json.dumps({"artifact": os.path.abspath(args.out),
                       "bytes": os.path.getsize(args.out),
                       "batch_size": args.batch_size,

@@ -154,3 +154,19 @@ def load_checkpoint_variables(path: str) -> dict:
 def host_copy(tree):
     """Fetch a (possibly sharded) pytree to host numpy for saving."""
     return jax.tree.map(lambda x: jax.device_get(x), tree)
+
+
+def snapshot(tree):
+    """Checkpoint-ready copy of a live training state.
+
+    Single-process: host numpy (frees the HBM the snapshot would
+    otherwise pin; orbax writes numpy directly). Multi-process:
+    ``jax.device_get`` on a ZeRO/FSDP-sharded array would raise (this
+    host cannot address the remote shards), so the sharded
+    ``jax.Array``s are kept as-is — they are immutable, holding the
+    reference costs no copy, and orbax saves them natively with every
+    process writing only the shards it owns.
+    """
+    if jax.process_count() == 1:
+        return host_copy(tree)
+    return tree

@@ -46,6 +46,21 @@ def _input_specs(cfg: ModelConfig, batch_size: int, image_size: int):
     return img, feat
 
 
+def _cast_params(variables, dtype):
+    """Cast float weights to ``dtype``; BN statistics stay float32
+    (batch_stats collection — normalization precision, repo
+    convention: CLAUDE.md 'BN stats f32')."""
+
+    def cast_tree(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(np.result_type(x), np.floating) else x,
+            tree)
+
+    return {k: (cast_tree(v) if k != "batch_stats" else v)
+            for k, v in variables.items()}
+
+
 def _make_forward(cfg: ModelConfig, model):
     """(variables, images, feats) → (preds int32 (B,), probs f32 (B,C))."""
 
@@ -67,17 +82,46 @@ class Predictor:
     ``batch_size`` chunks, the tail chunk padded by repeating its last
     row (padding never reaches the caller — outputs are sliced back to
     the request size). Compilation happens once, in ``__init__``.
+
+    ``mesh`` compiles the forward across a device mesh: the request
+    batch is sharded over the 'data' axis and parameters follow the
+    tensor-parallel rules of ``parallel/sharding.py`` over 'model'
+    (large matmul weights column-parallel, everything else replicated) —
+    multi-chip serving is the same config flip as multi-chip training.
+    ``param_dtype`` (e.g. ``jnp.bfloat16``) casts the float weights at
+    load — halves the per-request parameter HBM traffic; BN statistics
+    stay float32 (normalization precision, repo convention).
     """
 
     def __init__(self, cfg: ModelConfig, variables, batch_size: int = 32,
-                 image_size: int = 224):
+                 image_size: int = 224, mesh=None, param_dtype=None):
         self.cfg = cfg
         self.batch_size = batch_size
         self.image_size = image_size
-        self._variables = jax.device_put(variables)
-        model = get_model(cfg)
-        fn = jax.jit(_make_forward(cfg, model))
-        img, feat = _input_specs(cfg, batch_size, image_size)
+        if param_dtype is not None:
+            variables = _cast_params(variables, param_dtype)
+        if mesh is not None:
+            from surya_tpu.core.mesh import DATA_AXIS, data_sharding
+            from surya_tpu.parallel.sharding import partition_params
+
+            ddim = mesh.shape[DATA_AXIS]
+            if batch_size % ddim:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the "
+                    f"mesh data axis ({ddim})")
+            self._variables = partition_params(variables, mesh)
+            in_sh = jax.tree.map(lambda x: x.sharding, self._variables)
+            img, feat = _input_specs(cfg, batch_size, image_size)
+            fn = jax.jit(
+                _make_forward(cfg, get_model(cfg)),
+                in_shardings=(in_sh, data_sharding(mesh, img.ndim),
+                              data_sharding(mesh, feat.ndim)),
+                out_shardings=(data_sharding(mesh, 1),
+                               data_sharding(mesh, 2)))
+        else:
+            self._variables = jax.device_put(variables)
+            fn = jax.jit(_make_forward(cfg, get_model(cfg)))
+            img, feat = _input_specs(cfg, batch_size, image_size)
         var_spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
             self._variables)
@@ -114,19 +158,23 @@ class Predictor:
 
 def export_model(cfg: ModelConfig, variables, path: str,
                  batch_size: int = 32, image_size: int = 224,
-                 platforms: tuple = ("cpu", "tpu")) -> None:
+                 platforms: tuple = ("cpu", "tpu"),
+                 param_dtype=None) -> None:
     """Serialize the forward pass (params baked in) as a StableHLO
     artifact at ``path``. Loadable with ``load_exported``.
 
     ``platforms`` lowers for each listed backend (default cpu+tpu) so
     the artifact really is portable — a single-platform export refuses
-    to run anywhere else."""
+    to run anywhere else. ``param_dtype`` (e.g. ``jnp.bfloat16``)
+    casts the baked-in weights — roughly halves the artifact."""
     model = get_model(cfg)
     forward = _make_forward(cfg, model)
     # Keep params on host: they are traced into the artifact as
     # constants, so staging them on the accelerator first would only
     # add two full-size device round-trips (costly through the tunnel).
     variables = jax.tree.map(np.asarray, jax.device_get(variables))
+    if param_dtype is not None:
+        variables = _cast_params(variables, param_dtype)
 
     def serving_fn(images, feats):
         return forward(variables, images, feats)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from surya_tpu.core.checkpoint import CheckpointManager, host_copy
+from surya_tpu.core.checkpoint import CheckpointManager, snapshot
 from surya_tpu.core.config import Config
 from surya_tpu.core.mesh import create_mesh, replicate, shard_batch
 from surya_tpu.core.metrics import MetricsLogger, precision_recall_f1
@@ -196,12 +196,20 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
 
     Preemption safety (``train.preempt_save``, TPU VMs are
     preemptible — SURVEY §5.3): on SIGTERM the loop finishes the
-    in-flight step, checkpoints the full state at the current epoch,
-    and returns with ``summary["preempted"]=True``; a ``resume=True``
-    rerun continues from epoch+1 (a partially trained epoch counts as
-    done — its optimizer updates already happened) and the best-so-far
-    weights are re-read from the best epoch's own checkpoint, not the
-    preemption snapshot.
+    in-flight step, checkpoints the full state at the current epoch
+    together with the exact position inside it (completed host batches
+    + data-echo steps), and returns with ``summary["preempted"]=True``.
+    A ``resume=True`` rerun re-enters the SAME epoch, fast-forwards the
+    deterministic (epoch-seeded) batch stream past the consumed
+    batches, and continues — PRNG keys are named by the restored global
+    step count, so augmentation/dropout streams pick up exactly where
+    they stopped and the preempted run's final weights are
+    bit-identical to an uninterrupted run's (pinned by test). The
+    fast-forward re-reads (but discards) the consumed batches; with the
+    packed memmap cache that replay is ~free. The best-so-far weights
+    are re-read from the best epoch's own checkpoint, not the
+    preemption snapshot. The resumed epoch's logged train_loss/accuracy
+    cover only its post-resume steps.
     """
     mesh = mesh or create_mesh()
     logger = logger or MetricsLogger()
@@ -232,15 +240,17 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                                        "loop_state.json")
         start_epoch = 0
         step_count = 0
+        resume_skip_batches = 0  # fast-forward count for a mid-epoch resume
+        resume_skip_echoes = 0
         best_state = None
         if resume and checkpoints:
             mgr = CheckpointManager(cfg.train.checkpoint_dir)
             latest = mgr.latest_step()
             if latest is not None:
-                state = mgr.restore(latest, template=host_copy(state))
+                state = mgr.restore(latest, template=snapshot(state))
                 start_epoch = latest + 1
                 # the restored checkpoint IS the best-so-far
-                best_state = host_copy(state)
+                best_state = snapshot(state)
                 # restore loop trackers + global step so the first
                 # post-resume epoch doesn't register as a fresh best and
                 # PRNG fold-ins don't replay step 0's keys
@@ -264,6 +274,14 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                                     best_ep, template=best_state)
                             else:
                                 best_state = None
+                            if ls.get("batch_idx") is not None:
+                                # mid-epoch snapshot: re-enter the SAME
+                                # epoch and fast-forward past the
+                                # batches consumed before preemption
+                                start_epoch = latest
+                                resume_skip_batches = int(ls["batch_idx"])
+                                resume_skip_echoes = int(
+                                    ls.get("echo_idx", 0))
                 logger.log({"event": "resume", "from_epoch": latest,
                             "step_count": step_count})
             mgr.close()
@@ -300,9 +318,12 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
         if preempt is None:
             preempt = {"flag": False}
 
-        def _preempt_checkpoint(epoch: int) -> None:
-            """Snapshot the full current state + loop trackers so a
-            resume=True rerun continues from epoch+1."""
+        def _preempt_checkpoint(epoch: int, batch_idx: int | None = None,
+                                echo_idx: int = 0) -> None:
+            """Snapshot the full current state + loop trackers. With
+            ``batch_idx`` (mid-epoch preemption) a resume=True rerun
+            re-enters this epoch at exactly that position; without it
+            (the epoch finished) resume continues from epoch+1."""
             if ckpt is not None:
                 # GC the previous cycle's snapshot (metric-less saves
                 # are never auto-pruned) unless it IS the best epoch
@@ -317,13 +338,22 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                             ckpt.delete(pe)
                     except Exception:
                         pass
-                ckpt.save(epoch, host_copy(state), force=True)
+                # a previous cycle's snapshot of THIS epoch occupies the
+                # same step id (mid-epoch resume preempted again):
+                # replace it — it is strictly older state
+                if epoch in ckpt.all_steps():
+                    ckpt.delete(epoch)
+                ckpt.save(epoch, snapshot(state), force=True)
+                ls = {"epoch": epoch, "step_count": step_count,
+                      "stopper": stopper.state_dict(),
+                      "saver": saver.state_dict(),
+                      "plateau": plateau.state_dict(),
+                      "preempt": True}
+                if batch_idx is not None:
+                    ls["batch_idx"] = batch_idx
+                    ls["echo_idx"] = echo_idx
                 with open(loop_state_path, "w") as f:
-                    json.dump({"epoch": epoch, "step_count": step_count,
-                               "stopper": stopper.state_dict(),
-                               "saver": saver.state_dict(),
-                               "plateau": plateau.state_dict(),
-                               "preempt": True}, f)
+                    json.dump(ls, f)
                 ckpt.wait()
             logger.log({"event": "preempt_save", "epoch": epoch,
                         "step_count": step_count})
@@ -338,12 +368,20 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
             t0 = time.time()
             losses, accs, seen = [], [], 0
             echo = max(cfg.data.data_echo, 1)
-            for host_batch in data.train_batches(epoch + 1):
+            # mid-epoch resume: fast-forward the epoch-seeded batch
+            # stream past what the preempted run already trained on
+            skip = resume_skip_batches if epoch == start_epoch else 0
+            first_echo = resume_skip_echoes if epoch == start_epoch else 0
+            pos_batch, pos_echo = skip, first_echo  # completed so far
+            for bi, host_batch in enumerate(data.train_batches(epoch + 1)):
+                if bi < skip:
+                    continue  # consumed before preemption; replay-discard
                 sharded = shard_batch(mesh, host_batch)
                 # data echoing: each decoded batch drives `echo` steps,
                 # each with a fresh augmentation/dropout key (on-device
                 # augmentation makes the echoes genuinely different).
-                for _ in range(echo):
+                echo_start = first_echo if bi == skip else 0
+                for pos_echo in range(echo_start + 1, echo + 1):
                     batch = sharded
                     if hasattr(data, "device_transform"):
                         batch = data.device_transform(
@@ -364,14 +402,19 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                                  m["accuracy"]))})
                     if preempt["flag"]:
                         break
+                pos_batch = bi
                 if preempt["flag"]:
                     break
             if preempt["flag"]:
-                # stop before validation: snapshot and exit
+                # stop before validation: snapshot state + exact epoch
+                # position (completed batches / echo steps) and exit
                 if profiled and profile_dir:
                     jax.profiler.stop_trace()
                     profile_dir = None
-                _preempt_checkpoint(epoch)
+                if pos_echo >= echo:  # the interrupted batch finished
+                    pos_batch, pos_echo = pos_batch + 1, 0
+                _preempt_checkpoint(epoch, batch_idx=pos_batch,
+                                    echo_idx=pos_echo)
                 break
             # exclude nan-guard-skipped steps from the epoch averages
             # (the reference `continue`s past them, 3dcnn train :127-129
@@ -413,8 +456,12 @@ def _train_and_evaluate(cfg: Config, data, *, mesh=None,
                           else val["accuracy"])
             saved_this_epoch = saver.update(ckpt_value, epoch)
             if saved_this_epoch:
-                best_state = host_copy(state)
+                best_state = snapshot(state)
                 if ckpt:
+                    if epoch in ckpt.all_steps():
+                        # a mid-epoch preempt snapshot of this same
+                        # epoch holds the step id: replace it
+                        ckpt.delete(epoch)
                     ckpt.save(epoch, best_state,
                               metrics={"val_loss": val["loss"],
                                        "val_accuracy": val["accuracy"]})

@@ -88,18 +88,21 @@ def test_preempt_saves_and_resumes(tmp_path, mesh8):
         ls = json.load(f)
     assert ls["preempt"] is True and ls["epoch"] == 0
     assert ls["step_count"] >= 2
+    # mid-epoch snapshot records the exact position inside the epoch
+    assert ls["batch_idx"] >= 2 and ls["echo_idx"] == 0
 
     # the default SIGTERM disposition is restored after the run
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
 
-    # resume: continues from epoch 1, completes the 5-epoch budget
+    # resume: re-enters the interrupted epoch 0 (fast-forwarded past
+    # the trained batches), completes the 5-epoch budget
     data2 = _data()
     s2 = train_and_evaluate(_cfg(tmp_path, 5), data2, mesh=mesh8,
                             logger=MetricsLogger(echo=False),
                             checkpoints=True, resume=True)
     assert s2["preempted"] is False
     epochs_run = [h["epoch"] for h in s2["history"]]
-    assert epochs_run and epochs_run[0] == 1 and epochs_run[-1] == 4
+    assert epochs_run and epochs_run[0] == 0 and epochs_run[-1] == 4
     assert np.isfinite(s2["history"][-1]["train_loss"])
 
 
@@ -122,9 +125,10 @@ def test_preempt_after_best_keeps_best_weights(tmp_path, mesh8):
     assert ls["preempt"] is True and ls["epoch"] == 1
     assert ls["saver"]["best_epoch"] == 0
 
-    # resume with a 2-epoch budget: range(2, 2) is empty — the summary
-    # must carry the restored epoch-0 best, not the preempt snapshot
-    s2 = train_and_evaluate(_cfg(tmp_path, 2), _data(), mesh=mesh8,
+    # resume with a 1-epoch budget: the mid-epoch snapshot re-enters
+    # epoch 1, but range(1, 1) is empty — the summary must carry the
+    # restored epoch-0 best, not the preempt snapshot
+    s2 = train_and_evaluate(_cfg(tmp_path, 1), _data(), mesh=mesh8,
                             logger=MetricsLogger(echo=False),
                             checkpoints=True, resume=True)
     assert s2["history"] == []
@@ -160,6 +164,43 @@ def test_best_survives_repeated_preemptions(tmp_path, mesh8):
     assert 0 in steps, f"best epoch evicted: {steps}"
     # best + the latest snapshot (older snapshots GC'd per cycle)
     assert len(steps) <= 3, f"stale snapshots accumulated: {steps}"
+
+
+def test_midepoch_resume_is_bit_exact(tmp_path, mesh8):
+    """A preempt + resume must be invisible to the final weights: the
+    resumed run fast-forwards the epoch-seeded batch stream and the
+    step-count-named PRNG keys continue exactly, so preempted+resumed
+    training equals one uninterrupted run bit-for-bit."""
+    cfg_a = _cfg(tmp_path / "a", 3)
+    ref = train_and_evaluate(cfg_a, _data(), mesh=mesh8,
+                             logger=MetricsLogger(echo=False),
+                             checkpoints=False)
+
+    # same budget, killed after 1 batch of epoch 1 (truly mid-epoch:
+    # 24 samples / bs 8 = 3 batches per epoch)
+    data = SigtermAfter(_data(), kill_epoch=1, after_batches=1)
+    cfg_b = _cfg(tmp_path / "b", 3)
+    s1 = train_and_evaluate(cfg_b, data, mesh=mesh8,
+                            logger=MetricsLogger(echo=False),
+                            checkpoints=True)
+    assert s1["preempted"] is True
+    ls_path = os.path.join(cfg_b.train.checkpoint_dir, "loop_state.json")
+    with open(ls_path) as f:
+        ls = json.load(f)
+    assert ls["epoch"] == 1 and 0 < ls["batch_idx"] < 3
+
+    s2 = train_and_evaluate(_cfg(tmp_path / "b", 3), _data(), mesh=mesh8,
+                            logger=MetricsLogger(echo=False),
+                            checkpoints=True, resume=True)
+    assert s2["preempted"] is False
+    # resumed run covers epochs 1 (completed mid-way) and 2
+    assert [h["epoch"] for h in s2["history"]] == [1, 2]
+
+    import jax
+
+    ref_final = jax.device_get(ref["state"].params)
+    res_final = jax.device_get(s2["state"].params)
+    jax.tree.map(np.testing.assert_array_equal, ref_final, res_final)
 
 
 def test_preempt_save_disabled(tmp_path, mesh8):

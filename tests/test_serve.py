@@ -62,3 +62,29 @@ def test_export_roundtrip(quadtree_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(probs), want_probs, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(preds),
                                   want_probs.argmax(-1))
+
+
+def test_predictor_on_mesh_matches_single_device(quadtree_setup, mesh8):
+    """Multi-chip serving: batch sharded over 'data', params placed by
+    the TP rules — same predictions as the single-device predictor."""
+    cfg, variables, images, feats, want_probs = quadtree_setup
+    pred = Predictor(cfg, variables, batch_size=8, mesh=mesh8)
+    preds, probs = pred.predict(images, feats)
+    np.testing.assert_allclose(probs, want_probs, atol=1e-5)
+    np.testing.assert_array_equal(preds, want_probs.argmax(-1))
+    with pytest.raises(ValueError, match="not divisible"):
+        Predictor(cfg, variables, batch_size=3, mesh=mesh8)
+
+
+def test_predictor_bf16_params(quadtree_setup):
+    """param_dtype=bfloat16 casts weights but not BN statistics; the
+    class probabilities stay close to the f32 reference."""
+    cfg, variables, images, feats, want_probs = quadtree_setup
+    pred = Predictor(cfg, variables, batch_size=4,
+                     param_dtype=jnp.bfloat16)
+    _, probs = pred.predict(images, feats)
+    np.testing.assert_allclose(probs, want_probs, atol=0.05)
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(pred._variables["batch_stats"]))
+    assert any(x.dtype == jnp.bfloat16
+               for x in jax.tree.leaves(pred._variables["params"]))

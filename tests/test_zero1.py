@@ -185,3 +185,34 @@ def test_zero1_via_train_loop(mesh8):
                              mesh=mesh8, checkpoints=False)
     assert np.isfinite(out["test"]["loss"])
     assert out["test"]["accuracy"] >= 0.25
+
+
+def test_sharded_state_checkpoint_roundtrip(mesh8, tmp_path):
+    """The multi-process checkpoint path hands orbax the live SHARDED
+    jax.Arrays (core/checkpoint.snapshot: device_get on non-addressable
+    shards would raise on a real multi-host run). Pin the mechanics in
+    one process: an FSDP-sharded state saves directly and restores to
+    the same values."""
+    from surya_tpu.core.checkpoint import CheckpointManager
+    from surya_tpu.parallel.zero import apply_fsdp
+
+    cfg, model, tx, state0, batch = _setup(mesh8)
+    with mesh8:
+        f_state, _ = apply_fsdp(replicate(mesh8, state0), mesh8)
+    # at least one leaf is genuinely sharded (not fully replicated)
+    leaves = jax.tree.leaves(f_state.params)
+    assert any(len(x.sharding.device_set) > 1
+               and not x.sharding.is_fully_replicated for x in leaves)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, f_state)  # sharded device arrays, no host gather
+    mgr.wait()
+    from surya_tpu.core.checkpoint import host_copy
+
+    expected = host_copy(f_state)  # single-process: all addressable
+    restored = mgr.restore(0, template=expected)
+    mgr.close()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(jax.device_get(b))),
+        expected, restored)
