@@ -55,20 +55,44 @@ def stem_kernel_to_s2d(k7):
     return k8.reshape(4, 4, 4 * c, co)
 
 
+class _FoldedNorm:
+    """Identity stand-in for BatchNorm in ``fold_bn`` mode: the affine
+    is pre-folded into the preceding conv's kernel+bias
+    (:func:`fold_resnet_params`), so the normalize op disappears from
+    the graph entirely (inference-only — no batch stats exist)."""
+
+    def __init__(self, name=None):
+        del name
+
+    def __call__(self, x):
+        return x
+
+
+def _layers(fold_bn: bool, train: bool, dtype):
+    if fold_bn:
+        if train:
+            raise ValueError("fold_bn is inference-only (no batch stats)")
+        return _FoldedNorm, partial(nn.Conv, use_bias=True, dtype=dtype,
+                                    param_dtype=jnp.float32)
+    norm = partial(nn.BatchNorm, use_running_average=not train,
+                   momentum=0.9, epsilon=1e-5, dtype=dtype,
+                   param_dtype=jnp.float32)
+    conv = partial(nn.Conv, use_bias=False, dtype=dtype,
+                   param_dtype=jnp.float32)
+    return norm, conv
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block (torchvision BasicBlock equivalent)."""
 
     filters: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       param_dtype=jnp.float32)
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+        norm, conv = _layers(self.fold_bn, train, self.dtype)
 
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
@@ -94,14 +118,11 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     expansion: int = 4
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       param_dtype=jnp.float32)
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+        norm, conv = _layers(self.fold_bn, train, self.dtype)
 
         out_ch = self.filters * self.expansion
         residual = x
@@ -141,6 +162,9 @@ class ResNet(nn.Module):
     # (3→12) and runs the mathematically equivalent 4×4/s1 conv.
     # Weight import converts standard kernels via stem_kernel_to_s2d.
     stem_space_to_depth: bool = False
+    # Inference-only: BatchNorm affines pre-folded into conv kernels
+    # (build params with fold_resnet_params; no batch_stats collection).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, upto: str = "layer4",
@@ -156,24 +180,18 @@ class ResNet(nn.Module):
             raise ValueError(f"upto must be one of {STAGES}, got {upto!r}")
         if start is not None and start not in STAGES[1:]:
             raise ValueError(f"start must be one of {STAGES[1:]}")
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+        norm, conv = _layers(self.fold_bn, train, self.dtype)
 
         x = x.astype(self.dtype)
         outs = {}
         if start is None:
             if self.stem_space_to_depth:
                 x = space_to_depth(x, 2)
-                x = nn.Conv(self.width, (4, 4), strides=(1, 1),
-                            padding=((2, 1), (2, 1)), use_bias=False,
-                            dtype=self.dtype, param_dtype=jnp.float32,
-                            name="conv1")(x)
+                x = conv(self.width, (4, 4), strides=(1, 1),
+                         padding=((2, 1), (2, 1)), name="conv1")(x)
             else:
-                x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                            padding=((3, 3), (3, 3)), use_bias=False,
-                            dtype=self.dtype, param_dtype=jnp.float32,
-                            name="conv1")(x)
+                x = conv(self.width, (7, 7), strides=(2, 2),
+                         padding=((3, 3), (3, 3)), name="conv1")(x)
             x = norm(name="bn1")(x)
             x = nn.relu(x)
             # nn.max_pool on purpose: XLA's SelectAndScatter backward
@@ -200,7 +218,7 @@ class ResNet(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = self.block(filters=filters, stride=stride,
-                               dtype=self.dtype,
+                               dtype=self.dtype, fold_bn=self.fold_bn,
                                name=f"{stage}_block{j}")(x, train=train)
             if stage in capture:
                 outs[stage] = x
@@ -211,19 +229,22 @@ class ResNet(nn.Module):
         return outs
 
 
-def resnet18(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
+def resnet18(dtype=jnp.bfloat16, name=None, stem_s2d=False,
+             fold_bn=False) -> ResNet:
     return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), dtype=dtype,
-                  name=name, stem_space_to_depth=stem_s2d)
+                  name=name, stem_space_to_depth=stem_s2d, fold_bn=fold_bn)
 
 
-def resnet34(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
+def resnet34(dtype=jnp.bfloat16, name=None, stem_s2d=False,
+             fold_bn=False) -> ResNet:
     return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), dtype=dtype,
-                  name=name, stem_space_to_depth=stem_s2d)
+                  name=name, stem_space_to_depth=stem_s2d, fold_bn=fold_bn)
 
 
-def resnet50(dtype=jnp.bfloat16, name=None, stem_s2d=False) -> ResNet:
+def resnet50(dtype=jnp.bfloat16, name=None, stem_s2d=False,
+             fold_bn=False) -> ResNet:
     return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), dtype=dtype,
-                  name=name, stem_space_to_depth=stem_s2d)
+                  name=name, stem_space_to_depth=stem_s2d, fold_bn=fold_bn)
 
 
 def feature_dim(name: str) -> int:
@@ -232,11 +253,12 @@ def feature_dim(name: str) -> int:
 
 
 def make_resnet(arch: str, dtype=jnp.bfloat16, name=None,
-                stem_s2d=False) -> ResNet:
+                stem_s2d=False, fold_bn=False) -> ResNet:
     try:
         return {"resnet18": resnet18, "resnet34": resnet34,
                 "resnet50": resnet50}[arch](dtype=dtype, name=name,
-                                            stem_s2d=stem_s2d)
+                                            stem_s2d=stem_s2d,
+                                            fold_bn=fold_bn)
     except KeyError:
         raise ValueError(f"unknown resnet {arch!r}") from None
 
@@ -244,3 +266,44 @@ def make_resnet(arch: str, dtype=jnp.bfloat16, name=None,
 def stem_is_s2d(trunk_params) -> bool:
     """Infer the stem variant from a param tree's conv1 kernel shape."""
     return trunk_params["conv1"]["kernel"].shape[0] == 4
+
+
+# conv param name → its following BatchNorm's param name, per the
+# module definitions above (every conv in this file is conv→bn).
+_BN_FOR_CONV = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+                "downsample_conv": "downsample_bn"}
+
+
+def fold_resnet_params(params, stats, eps: float = 1e-5):
+    """Trained (params, batch_stats) → params for ``ResNet(fold_bn=True)``.
+
+    Inference-mode BatchNorm is a per-channel affine
+    ``y = (x − μ)/√(σ²+ε)·γ + β``; with ``g = γ/√(σ²+ε)`` it folds into
+    the preceding bias-free conv as ``kernel' = kernel·g`` (HWIO, g over
+    O) and ``bias' = β − μ·g`` — the standard deployment transform.
+    Exactness vs the unfolded trunk is pinned by test; whether it's
+    *faster* on TPU is an empirical question (XLA may already fuse the
+    affine into the conv) — see BENCH_NOTES.
+    """
+    def fold(p, s):
+        out = {}
+        for k, v in p.items():
+            if k in _BN_FOR_CONV.values():
+                continue  # consumed by its conv
+            if not isinstance(v, dict):
+                out[k] = v
+            elif "kernel" not in v:
+                out[k] = fold(v, s.get(k, {}))
+            else:
+                bn = _BN_FOR_CONV.get(k)
+                if bn is not None and bn in p:
+                    g = p[bn]["scale"] / jnp.sqrt(s[bn]["var"] + eps)
+                    bias = p[bn]["bias"] - s[bn]["mean"] * g
+                    if "bias" in v:
+                        bias = bias + v["bias"] * g
+                    out[k] = {"kernel": v["kernel"] * g, "bias": bias}
+                else:
+                    out[k] = dict(v)
+        return out
+
+    return fold(params, stats)
