@@ -1,0 +1,295 @@
+"""The COMPLETE reference workflow, end to end, MediaPipe-free, in one
+run: raw video frames → frame renaming → neural landmark extraction →
+47-feature flat dataset → flagship spatial training → sequence windows
+→ temporal training → Grad-CAM → live video inference.
+
+This is the integration proof that a user of the reference repo can do
+the whole pipeline in surya_tpu with zero external pose/vision model
+dependencies. Reference stage parity:
+
+  stage 0  render class-conditional stick-figure "video" clips
+           (stand-in for the surya_namaskar.v4i.coco frames; classes
+           are articulation presets — see
+           data/synthetic_pose.class_swing_centers)
+  stage 1  ``sqn process/Frame_Renaming.py``        → rename_frames
+  stage 2  ``experiment/1_prepare_still_image_dataset.py`` (MediaPipe)
+           → prepare_still_image_dataset with the TRAINED TPU-native
+           pose-landmark net (runs/pose_landmark_cpu) as extractor
+  stage 3  ``Quadtree_train.py`` flagship training  → train_and_evaluate
+  stage 4  ``cnn+lstm/prepare_sequential_dataset.py`` → view-PNG dir +
+           build_sequence_dataset (view 00 = the identity view; the
+           generative multiview stage is exercised separately in
+           runs/diffusion_demo — slotting its output here is only a
+           directory swap)
+  stage 5  ``cnn+lstm/training.py``                 → CnnLstm training
+  stage 6  ``resnet/grad_cam_analysis.py``          → save_batch_grad_cam
+  stage 7  ``experiment/test_on_video_cnn.py``      → run_video_inference
+
+Run: python scripts/full_workflow_demo.py  → runs/full_workflow/
+(all intermediates under a scratch dir; summary.json has per-stage
+timings + metrics).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+CLASS_NAMES = ["pranamasana", "hasta_uttanasana",
+               "ashwa_sanchalanasana", "bhujangasana"]
+IMG = 96
+FRAMES_PER_CLIP = 12
+CLIPS = {"train": 4, "valid": 1, "test": 2}   # per class
+POSE_CKPT = os.environ.get(
+    "POSE_CKPT", "runs/pose_landmark_cpu/pose_landmark.msgpack")
+OUT = "runs/full_workflow"
+SCRATCH = os.environ.get("WORKFLOW_SCRATCH", "/root/datasets/workflow")
+
+
+def render_raw_clips(root: str) -> dict:
+    """Stage 0: class-conditional clips in the reference's raw layout
+    (``<split>/<clip>/<original>.jpg`` + label CSV keyed by original
+    filename)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from surya_tpu.data.synthetic_pose import (
+        class_swing_centers,
+        make_pose_class_batch,
+    )
+
+    base = class_swing_centers(len(CLASS_NAMES), seed=5)
+    rng = np.random.default_rng(0)
+    rows = []
+    clip_label: dict[str, str] = {}
+    gid = 0
+    render = jax.jit(lambda k, lab, cen: make_pose_class_batch(
+        k, lab, cen, image_size=IMG, swing_spread=0.10))
+
+    for split, n_clips in CLIPS.items():
+        # one device program renders the whole split: per-frame center
+        # = class preset + a per-clip offset (clips of one class are
+        # the "same video" re-performed)
+        centers, labels, names = [], [], []
+        for c, cname in enumerate(CLASS_NAMES):
+            for _ in range(n_clips):
+                gid += 1
+                clip = f"video_clip_{gid:03d}"
+                clip_label[clip] = cname
+                off = rng.normal(0, 0.08, base.shape[1]).astype(
+                    np.float32)
+                centers.append(base[c] + off)
+                for t in range(FRAMES_PER_CLIP):
+                    labels.append(len(centers) - 1)
+                    names.append((split, clip, f"{clip}_t{t:02d}.jpg",
+                                  cname))
+        imgs = np.asarray(render(jax.random.PRNGKey(gid),
+                                 jnp.asarray(labels, jnp.int32),
+                                 jnp.asarray(np.stack(centers)))[0])
+        for img, (split_, clip, fname, cname) in zip(imgs, names):
+            d = os.path.join(root, split_, clip)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(d, fname), quality=95)
+            rows.append({"filename": fname, "label": cname})
+
+    csv_path = os.path.join(root, "labels.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["filename", "label"])
+        w.writeheader()
+        w.writerows(rows)
+    return {"csv": csv_path, "clip_label": clip_label,
+            "images": len(rows)}
+
+
+def make_view_pngs(renamed: str, aug: str, clip_label: dict) -> int:
+    """Stage 4a: the sequence builder consumes ``<clip>_<frame>.jpg
+    _view_NN.png`` names (the multiview slicer's output contract,
+    ``Zero123/batch_aug.py:124-130``); view 00 is the identity view."""
+    from PIL import Image
+
+    n = 0
+    for split in CLIPS:
+        sdir = os.path.join(renamed, split)
+        for clip in sorted(os.listdir(sdir)):
+            cdir = os.path.join(sdir, clip)
+            if not os.path.isdir(cdir):
+                continue
+            label = clip_label[clip]
+            out_dir = os.path.join(aug, split, label)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in sorted(os.listdir(cdir)):
+                if not f.endswith(".jpg"):
+                    continue
+                with Image.open(os.path.join(cdir, f)) as im:
+                    im.save(os.path.join(out_dir,
+                                         f"{clip}_{f}_view_00.png"))
+                n += 1
+    return n
+
+
+def main():
+    t_all = time.time()
+    os.makedirs(OUT, exist_ok=True)
+    if os.path.isdir(SCRATCH):
+        shutil.rmtree(SCRATCH)
+    raw = os.path.join(SCRATCH, "raw")
+    renamed = os.path.join(SCRATCH, "renamed")
+    flat = os.path.join(SCRATCH, "flat")
+    aug = os.path.join(SCRATCH, "aug")
+    seqroot = os.path.join(SCRATCH, "sequences")
+    summary: dict = {"stages": {}}
+
+    def stage(name, fn):
+        t0 = time.time()
+        r = fn()
+        summary["stages"][name] = {"seconds": round(time.time() - t0, 1)}
+        print(f"[{name}] done in {time.time() - t0:.1f}s", flush=True)
+        return r
+
+    # ---- 0: raw frames -------------------------------------------------
+    meta = stage("render_raw", lambda: render_raw_clips(raw))
+    summary["stages"]["render_raw"]["images"] = meta["images"]
+
+    # ---- 1: frame renaming (L0) ----------------------------------------
+    from surya_tpu.data.prep.frame_renaming import rename_frames
+
+    report = stage("rename_frames", lambda: rename_frames(raw, renamed))
+    summary["stages"]["rename_frames"]["clips"] = sum(
+        len(v) for v in report.values())
+
+    # ---- 2: neural-extractor flat prep (L1) ----------------------------
+    from surya_tpu.data.prep.still_image_dataset import (
+        prepare_still_image_dataset,
+    )
+    from surya_tpu.models.pose import load_pose_extractor
+
+    ext = load_pose_extractor(POSE_CKPT)
+    counts = stage("still_image_prep", lambda: prepare_still_image_dataset(
+        renamed, flat, [meta["csv"]], extractor=ext))
+    summary["stages"]["still_image_prep"]["counts"] = counts
+
+    # ---- 3: flagship spatial training (L4-L6) --------------------------
+    from surya_tpu.core.config import (
+        Config,
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from surya_tpu.data.dataset import DiskDataSource
+    from surya_tpu.train import train_and_evaluate
+
+    cfg = Config(
+        model=ModelConfig(name="quadtree", mode="fusion",
+                          num_classes=len(CLASS_NAMES),
+                          freeze_backbone=True, use_pallas=False),
+        data=DataConfig(data_root=flat, batch_size=16, image_size=IMG),
+        train=TrainConfig(epochs=8, lr=5e-4, weight_decay=1e-4,
+                          seed=42, early_stop_patience=0))
+    data = DiskDataSource(cfg.data)
+    spatial = stage("train_quadtree",
+                    lambda: train_and_evaluate(cfg, data,
+                                               checkpoints=False))
+    summary["spatial_test"] = {
+        k: spatial["test"][k] for k in
+        ("accuracy", "precision", "recall", "f1")}
+    state = spatial["state"]
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+
+    # ---- 4: sequence windows (L3) --------------------------------------
+    from surya_tpu.data.sequences import build_sequence_dataset
+
+    stage("view_pngs",
+          lambda: make_view_pngs(renamed, aug, meta["clip_label"]))
+    seq_counts = stage("build_sequences", lambda: build_sequence_dataset(
+        aug, flat, seqroot, seq_len=4, stride=2, image_size=IMG))
+    summary["stages"]["build_sequences"]["counts"] = seq_counts
+
+    # ---- 5: temporal training (CnnLstm) --------------------------------
+    from surya_tpu.data.sequences import SequenceDataSource
+
+    cfg2 = Config(
+        model=ModelConfig(name="cnn_lstm",
+                          num_classes=len(CLASS_NAMES),
+                          freeze_backbone=True),
+        data=DataConfig(seq_root=seqroot, seq_len=4, batch_size=16,
+                        image_size=IMG),
+        train=TrainConfig(epochs=8, lr=5e-4, seed=42,
+                          early_stop_patience=0))
+    seq_data = SequenceDataSource(cfg2.data)
+    temporal = stage("train_cnn_lstm",
+                     lambda: train_and_evaluate(cfg2, seq_data,
+                                                checkpoints=False))
+    summary["temporal_test"] = {
+        k: temporal["test"][k] for k in
+        ("accuracy", "precision", "recall", "f1")}
+
+    # ---- 6: Grad-CAM on test images (L7) --------------------------------
+    from surya_tpu.interpret.gradcam import save_batch_grad_cam
+
+    def cams():
+        batch = next(iter(data.eval_batches("test")))
+        raw_imgs, feats, labels = batch[:3]
+        model_in = data.device_transform("test", None, batch)
+        return save_batch_grad_cam(
+            cfg.model, variables,
+            [(model_in[0], model_in[1], labels, raw_imgs)],
+            CLASS_NAMES, os.path.join(OUT, "cams"))
+
+    summary["stages_gradcam_overlays"] = stage("grad_cam", cams)
+
+    # ---- 7: live video inference (L7) -----------------------------------
+    def video():
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from surya_tpu.data.synthetic_pose import (
+            class_swing_centers,
+            make_pose_class_batch,
+        )
+        from surya_tpu.infer.video import run_video_inference
+
+        target = 0
+        base = class_swing_centers(len(CLASS_NAMES), seed=5)
+        imgs = np.asarray(make_pose_class_batch(
+            jax.random.PRNGKey(99),
+            jnp.full((24,), target, jnp.int32), jnp.asarray(base),
+            image_size=IMG, swing_spread=0.10)[0])
+        path = os.path.join(SCRATCH, "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 8,
+                            (IMG, IMG))
+        for fr in imgs:
+            w.write(cv2.cvtColor((fr * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        w.release()
+        recs = run_video_inference(
+            cfg.model, variables, path, CLASS_NAMES,
+            output_path=os.path.join(OUT, "annotated.mp4"),
+            extractor=ext, batch_size=8, image_size=IMG)
+        hits = sum(r["label"] == CLASS_NAMES[target] for r in recs)
+        return {"frames": len(recs),
+                "target_class": CLASS_NAMES[target],
+                "frames_classified_as_target": hits}
+
+    summary["video"] = stage("video_inference", video)
+
+    summary["total_seconds"] = round(time.time() - t_all, 1)
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

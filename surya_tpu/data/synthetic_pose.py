@@ -115,12 +115,22 @@ def _rot2(theta):
     return jnp.array([[c, -s], [s, c]], jnp.float32)
 
 
-def sample_pose(key: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+def sample_pose(key: jax.Array, swing_center: jax.Array | None = None,
+                swing_spread: float = 1.0
+                ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One random articulated pose → (xy (33,2), z (33,), vis (33,)).
 
     xy is in normalized [0,1] image coords (some joints may exit the
     frame — their visibility target drops accordingly, like MediaPipe's
     low-visibility scores for out-of-view landmarks).
+
+    ``swing_center`` (8,) makes sampling CLASS-CONDITIONAL: articulation
+    angles are drawn around that preset (within ``swing_spread`` of the
+    usual range, clipped to the kinematic limits) instead of uniformly —
+    a fixed center *is* a pose class, which is how the end-to-end
+    pose-classification demos synthesize sun-salutation-style classes
+    (the reference's classes are likewise articulation presets of one
+    body). Defaults reproduce the unconditional sampler bit-for-bit.
     """
     ks = jax.random.split(key, 7)
     xy = jnp.asarray(TEMPLATE_XY)
@@ -128,6 +138,10 @@ def sample_pose(key: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     # Limb articulation, proximal chains first.
     swings = jax.random.uniform(
         ks[0], (len(_CHAINS),), minval=-1.0, maxval=1.0) * _CHAIN_RANGE
+    if swing_center is not None:
+        swings = jnp.clip(jnp.asarray(swing_center)
+                          + swing_spread * swings,
+                          -_CHAIN_RANGE, _CHAIN_RANGE)
     for ci in range(len(_CHAINS)):
         pivot = xy[_CHAIN_PIVOTS[ci]]
         rotated = (xy - pivot) @ _rot2(swings[ci]).T + pivot
@@ -205,6 +219,43 @@ def make_pose_batch(key: jax.Array, batch_size: int,
     """
     kp, kn = jax.random.split(key)
     xy, z, vis = jax.vmap(sample_pose)(jax.random.split(kp, batch_size))
+    imgs = jax.vmap(lambda a, b: render_pose(a, b, image_size))(xy, z)
+    imgs = jnp.clip(
+        imgs + noise * jax.random.normal(kn, imgs.shape), 0.0, 1.0)
+    return imgs, xy, z, vis
+
+
+def class_swing_centers(num_classes: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic per-class articulation presets, (C, 8).
+
+    Each row is a fixed joint-angle configuration — a pose class the
+    way the reference's eight sun-salutation asanas are (distinct limb
+    configurations of one body). Drawn inside ±0.85 of the kinematic
+    range so conditional sampling retains jitter room.
+    """
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(-0.85, 0.85, (num_classes, len(_CHAINS)))
+            * _CHAIN_RANGE).astype(np.float32)
+
+
+def make_pose_class_batch(key: jax.Array, labels: jax.Array,
+                          centers: jax.Array, image_size: int = 256,
+                          noise: float = 0.03,
+                          swing_spread: float = 0.25):
+    """Class-conditional variant of :func:`make_pose_batch`.
+
+    (key, labels (B,) int32) → (images (B,S,S,3), xy, z, vis); one
+    jittable program like the unconditional sampler. ``centers`` is
+    (C, 8) from :func:`class_swing_centers` (or custom choreography).
+    """
+    labels = jnp.asarray(labels)
+    centers = jnp.asarray(centers)
+    kp, kn = jax.random.split(key)
+    keys = jax.random.split(kp, labels.shape[0])
+    xy, z, vis = jax.vmap(
+        lambda k, c: sample_pose(k, swing_center=c,
+                                 swing_spread=swing_spread)
+    )(keys, centers[labels])
     imgs = jax.vmap(lambda a, b: render_pose(a, b, image_size))(xy, z)
     imgs = jnp.clip(
         imgs + noise * jax.random.normal(kn, imgs.shape), 0.0, 1.0)

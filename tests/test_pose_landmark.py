@@ -357,3 +357,38 @@ def test_detection_threshold_gates():
     lm, detected = ext.process_array(
         np.zeros((32, 32, 3), np.uint8))
     assert not detected and not lm.any()
+
+
+def test_class_conditional_sampler():
+    """Class-conditional pose sampling (full_workflow_demo's stage-0
+    generator): same class -> tight articulation cluster, different
+    classes -> separated; swing_center=None reproduces the
+    unconditional sampler bit-for-bit (same RNG draw order)."""
+    key = jax.random.PRNGKey(3)
+    a = sp.sample_pose(key)
+    b = sp.sample_pose(key, swing_center=np.zeros(8, np.float32),
+                       swing_spread=1.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    centers = sp.class_swing_centers(4, seed=5)
+    assert centers.shape == (4, 8)
+    np.testing.assert_array_equal(centers,
+                                  sp.class_swing_centers(4, seed=5))
+
+    labels = jnp.asarray([0] * 8 + [1] * 8, jnp.int32)
+    imgs, xy, z, vis = sp.make_pose_class_batch(
+        jax.random.PRNGKey(0), labels, centers, image_size=32,
+        swing_spread=0.1)
+    assert imgs.shape == (16, 32, 32, 3)
+    # Compare articulation, not placement: normalize out the global
+    # similarity transform (class-independent centroid + scale jitter)
+    # before measuring within/across-class distances.
+    xy = np.asarray(xy)
+    c = xy - xy.mean(1, keepdims=True)
+    c = c / np.sqrt((c ** 2).sum(-1).mean(1))[:, None, None]
+    within0 = np.mean([np.abs(c[i] - c[j]).mean()
+                       for i in range(8) for j in range(i + 1, 8)])
+    across = np.mean([np.abs(c[i] - c[j]).mean()
+                      for i in range(8) for j in range(8, 16)])
+    assert across > 1.5 * within0, (within0, across)
