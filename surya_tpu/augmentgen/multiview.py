@@ -131,6 +131,83 @@ def jax_diffusion_generate_fn(denoiser=None, variables=None,
     return fn
 
 
+def zero123plus_unet_generate_fn(unet_config, unet_variables,
+                                 vae_config, vae_variables,
+                                 encoder_hidden_states,
+                                 num_steps: int = 75, tile: int = 320,
+                                 rows: int = 3, cols: int = 2,
+                                 seed: int = 0) -> Callable:
+    """The REAL zero123plus pipeline shape, fully TPU-native: VAE-encode
+    the clean conditioning image, run the reference-attention-
+    conditioned SD2 UNet (``models/diffusion/unet_cond.py``) through the
+    trailing-spacing Euler-Ancestral v-prediction trajectory in latent
+    space, VAE-decode the 3×2 grid. One jitted program per grid shape.
+
+    ``encoder_hidden_states`` is the (1, S, cross_dim) cross-attention
+    context — upstream this is the empty-prompt CLIP text embedding
+    plus the ramped CLIP vision embedding of the conditioning image;
+    both encoders' weights are egress-blocked here, so the context is
+    an explicit input (any fixed conditioning tokens work for
+    plumbing). UNet/VAE weights come from ``import_unet``/``import_vae``
+    when a checkpoint is available; random-init works for wiring tests.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from surya_tpu.models.diffusion import (
+        EulerAncestralSchedule,
+        UNet2DCondition,
+        reference_conditioned_denoiser,
+        sample,
+    )
+    from surya_tpu.models.diffusion.vae import (
+        SD_SCALING_FACTOR,
+        AutoencoderKL,
+        sample_latents,
+    )
+
+    unet = UNet2DCondition(unet_config)
+    vae = AutoencoderKL(vae_config)
+    # spatial reduction of the VAE tower (2× per non-final level)
+    factor = 2 ** (len(vae_config.block_out_channels) - 1)
+    gh, gw = rows * tile, cols * tile
+    lat_shape = (1, gh // factor, gw // factor,
+                 vae_config.latent_channels)
+    schedule = EulerAncestralSchedule.create(
+        num_steps, timestep_spacing="trailing",
+        prediction_type="v_prediction")
+    ehs = jnp.asarray(encoder_hidden_states)
+
+    @jax.jit
+    def run(cond_px, key):
+        kc, kd, ks = jax.random.split(key, 3)
+        mean, logvar = vae.apply(vae_variables, cond_px,
+                                 method="encode")
+        cond_lat = sample_latents(mean, logvar, kc) * SD_SCALING_FACTOR
+        denoiser = reference_conditioned_denoiser(
+            unet, unet_variables["params"], schedule, ehs, cond_lat, kd)
+        latents = sample(schedule, denoiser, ks, lat_shape)
+        return vae.apply(vae_variables, latents / SD_SCALING_FACTOR,
+                         method="decode")
+
+    counter = [0]
+
+    def fn(image):
+        cond = np.asarray(
+            image.convert("RGB").resize((tile, tile), Image.BILINEAR),
+            np.float32) / 127.5 - 1.0
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter[0])
+        counter[0] += 1
+        out = np.asarray(jax.device_get(run(
+            jnp.asarray(cond[None]), key)))[0]
+        out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return Image.fromarray(out).resize((gw, gh), Image.BILINEAR)
+
+    return fn
+
+
 def process_augmentation(clean_root: str, out_root: str,
                          generate_fn: Callable | None = None,
                          num_steps: int = 75, rows: int = 3,

@@ -120,6 +120,41 @@ def test_ref_denoiser_full_trajectory():
     assert float(jnp.abs(out2 - out).max()) > 1e-4
 
 
+def test_zero123plus_latent_pipeline_end_to_end():
+    """The full pipeline shape — VAE encode → ref-attention UNet over
+    the Euler-Ancestral trajectory in latent space → VAE decode → 3×2
+    grid slice — runs TPU-natively on tiny configs."""
+    from PIL import Image
+
+    from surya_tpu.augmentgen.multiview import (
+        slice_grid_in_memory,
+        zero123plus_unet_generate_fn,
+    )
+    from surya_tpu.models.diffusion.vae import (
+        AutoencoderKL,
+        tiny_vae_config,
+    )
+
+    ucfg = uc.tiny_config()
+    unet = uc.UNet2DCondition(ucfg)
+    uvars = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 8, 4)),
+                      jnp.zeros((1,)), jnp.zeros((1, 7, 12)))
+    vcfg = tiny_vae_config()
+    vae = AutoencoderKL(vcfg)
+    vvars = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    ehs = np.random.default_rng(2).normal(0, 1, (1, 7, 12)).astype(
+        np.float32)
+
+    gen = zero123plus_unet_generate_fn(
+        ucfg, uvars, vcfg, vvars, ehs, num_steps=2, tile=8)
+    cond = Image.fromarray(np.random.default_rng(3).integers(
+        0, 255, (8, 8, 3), np.uint8), "RGB")
+    grid = gen(cond)
+    assert grid.size == (16, 24)  # (cols*tile, rows*tile)
+    views = slice_grid_in_memory(grid)
+    assert len(views) == 6 and views[0].size == (8, 8)
+
+
 def test_zero123plus_config_is_sd2_shape():
     cfg = uc.zero123plus_config()
     assert cfg.block_out_channels == (320, 640, 1280, 1280)
