@@ -46,6 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 CLASS_NAMES = ["pranamasana", "hasta_uttanasana",
                "ashwa_sanchalanasana", "bhujangasana"]
+# model class indices follow the dataset's SORTED class-dir scan
+# (data/dataset.py:41, mirroring dataloader_cnn.py:51-55) — use this
+# ordering wherever a logit index is mapped back to a name
+IDX_TO_NAME = sorted(CLASS_NAMES)
 IMG = 96
 FRAMES_PER_CLIP = 12
 CLIPS = {"train": 4, "valid": 1, "test": 2}   # per class
@@ -245,7 +249,7 @@ def main():
         return save_batch_grad_cam(
             cfg.model, variables,
             [(model_in[0], model_in[1], labels, raw_imgs)],
-            CLASS_NAMES, os.path.join(OUT, "cams"))
+            IDX_TO_NAME, os.path.join(OUT, "cams"))
 
     summary["stages_gradcam_overlays"] = stage("grad_cam", cams)
 
@@ -275,7 +279,7 @@ def main():
                                  cv2.COLOR_RGB2BGR))
         w.release()
         recs = run_video_inference(
-            cfg.model, variables, path, CLASS_NAMES,
+            cfg.model, variables, path, IDX_TO_NAME,
             output_path=os.path.join(OUT, "annotated.mp4"),
             extractor=ext, batch_size=8, image_size=IMG)
         hits = sum(r["label"] == CLASS_NAMES[target] for r in recs)

@@ -1,3 +1,7 @@
+from surya_tpu.models.diffusion.conditioning import (  # noqa: F401
+    clip_conditioning_fn,
+    combine_conditioning,
+)
 from surya_tpu.models.diffusion.euler_ancestral import (  # noqa: F401
     EulerAncestralSchedule,
     sample,
