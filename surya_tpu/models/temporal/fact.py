@@ -213,7 +213,8 @@ def fact_apply_pipelined(model: FactModel, variables, image_sequence,
                          pipe_axis: str = "pipe",
                          num_microbatches: int | None = None,
                          batch_spec: P = P(),
-                         train: bool = False, rngs=None):
+                         train: bool = False, rngs=None,
+                         manual_axes=None):
     """FACT forward with the encoder stack pipeline-parallel.
 
     ``embed`` and ``head`` run as ordinary (replicated / data-parallel)
@@ -264,5 +265,6 @@ def fact_apply_pipelined(model: FactModel, variables, image_sequence,
     full = pipeline_apply(layer_fn, stacked, emb, mesh,
                           pipe_axis=pipe_axis,
                           num_microbatches=num_microbatches,
-                          batch_spec=batch_spec, rng=rng)
+                          batch_spec=batch_spec, rng=rng,
+                          manual_axes=manual_axes)
     return model.apply(variables, full, method="head")

@@ -49,6 +49,15 @@ except ImportError:  # pragma: no cover - older jax spells the
         return _legacy_shard_map(*args, check_rep=check_vma, **kwargs)
 
 
+def _pvary(x, axis_name: str):
+    """Mark x as varying over axis_name (vma system). jax ≥ 0.9 spells
+    this lax.pcast(to='varying'); older versions lax.pvary."""
+    try:
+        return lax.pcast(x, axis_name, to="varying")
+    except (AttributeError, TypeError):  # pragma: no cover
+        return lax.pvary(x, (axis_name,))
+
+
 def stack_layer_params(params: dict, names: list[str]):
     """Stack the per-layer subtrees ``params[name]`` on a new leading
     axis (layer major). The flax param tree keeps per-layer names
@@ -66,7 +75,8 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                    pipe_axis: str = "pipe",
                    num_microbatches: int | None = None,
                    batch_spec: P = P(),
-                   rng: jax.Array | None = None) -> jnp.ndarray:
+                   rng: jax.Array | None = None,
+                   manual_axes: frozenset[str] | None = None) -> jnp.ndarray:
     """Run x through L stacked layers pipelined over ``pipe_axis``.
 
     ``layer_fn(layer_params, x)`` (or ``(layer_params, x, key)`` when
@@ -79,6 +89,15 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
     folds a distinct key, so dropout masks are independent across both
     (the mask assignment differs from a sequential-apply run — same
     distribution, different draw).
+
+    ``manual_axes`` (default: all mesh axes) restricts which axes the
+    shard_map body sees as manual collectives axes; the rest stay under
+    GSPMD ("partial-auto" shard_map). Passing
+    ``frozenset({pipe_axis, 'data'})`` on a ('pipe','model','data') mesh
+    leaves 'model' to GSPMD, so layer weights whose last axis is sharded
+    over 'model' get tensor-parallel matmuls INSIDE each pipeline stage —
+    the PP x TP x DP composition (in_specs describe only the manual
+    axes; auto-axis shardings ride through from the operands).
     """
     s = mesh.shape[pipe_axis]
     m = num_microbatches or s
@@ -96,16 +115,31 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                 P(None, *batch_spec))
     out_spec = P(None, *batch_spec)
 
+    batch_axes = [a for axes in batch_spec if axes is not None
+                  for a in ((axes,) if isinstance(axes, str) else axes)]
+
     def run(local_params, mbs):
         stage = lax.axis_index(pipe_axis)
         ticks = m + s - 1
+        # align varying-axes: params (varying over pipe) meet activations
+        # that additionally vary over the batch axes
+        for a in batch_axes:
+            local_params = jax.tree.map(lambda x: _pvary(x, a),
+                                        local_params)
+            stage = _pvary(stage, a)
 
         def tick(carry, t):
             act = carry
             # stage 0 ingests microbatch t (clamped; invalid ticks are
-            # masked out at collection)
-            feed = lax.dynamic_index_in_dim(
-                mbs, jnp.minimum(t, m - 1), 0, keepdims=False)
+            # masked out at collection). The pvary marks feed as varying
+            # over the pipe axis (it is consumed under a stage mask), so
+            # the shard_map transpose inserts the psum that makes the
+            # input cotangent well-defined — with check_vma=False XLA's
+            # replication assumption on d_mbs was unchecked and a
+            # compile-dependent 4x gradient error appeared when this
+            # composed with an optimizer update (round-3 fix).
+            feed = _pvary(lax.dynamic_index_in_dim(
+                mbs, jnp.minimum(t, m - 1), 0, keepdims=False), pipe_axis)
             act = jnp.where(stage == 0, feed, act)
 
             # apply this stage's L/S layers
@@ -128,7 +162,7 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                                [(i, (i + 1) % s) for i in range(s)])
             return act, out
 
-        init = jnp.zeros_like(mbs[0])
+        init = _pvary(jnp.zeros_like(mbs[0]), pipe_axis)
         _, outs = lax.scan(tick, init, jnp.arange(ticks))
 
         # stage S-1's outputs at ticks S-1 .. S-1+M-1 are microbatches
@@ -138,7 +172,10 @@ def pipeline_apply(layer_fn: Callable[..., jnp.ndarray],
                            jnp.zeros_like(picked))
         return lax.psum(picked, pipe_axis)
 
+    kwargs = {}
+    if manual_axes is not None:
+        kwargs["axis_names"] = frozenset(manual_axes)
     outs = shard_map(run, mesh=mesh, in_specs=in_specs,
-                     out_specs=out_spec, check_vma=False)(
+                     out_specs=out_spec, check_vma=True, **kwargs)(
                          stacked_params, mb)
     return outs.reshape((b,) + x.shape[1:])
