@@ -12,6 +12,8 @@ overrides).
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
   python -m surya_tpu pose-train [--steps N] [--width W] [--out DIR]
+  python -m surya_tpu ingest pt-windows PT_ROOT OUT   (reference .pt → .npz)
+  python -m surya_tpu ingest clip-csv PROCESSED OUT   (reference CSVs → canonical)
 """
 
 from __future__ import annotations
@@ -471,6 +473,10 @@ def main() -> int:
         return cmd_export_torch(argv)
     if cmd == "pose-train":
         return cmd_pose_train(argv)
+    if cmd == "ingest":
+        from surya_tpu.data.prep.ingest import main as ingest_main
+
+        return ingest_main(argv)
     if cmd == "check":
         return cmd_check()
     if cmd == "bench":
