@@ -50,6 +50,64 @@ def make_synthetic_spatial(num_classes: int = 8, per_class: int = 16,
     return images[perm], features[perm], labels[perm]
 
 
+def make_synthetic_capability(per_class: int = 16, image_size: int = 96,
+                              num_features: int = 47, seed: int = 0,
+                              image_noise: float = 0.8,
+                              feat_noise: float = 0.75,
+                              class_seed: int = 1234):
+    """Capability-discrimination set: 8 classes = quadrant × numeric bit.
+
+    Designed so quadrant locality and the numeric modality each carry a
+    DISJOINT part of the label (the structure behind the reference's
+    published ordering, ``README.md:140-143`` — fusion > image_only >
+    numerical_only, QuadtreeCNN > GAP-pooled standard backbones):
+
+    - class c = 2*q + b with q ∈ {0..3}, b ∈ {0,1};
+    - the IMAGE carries only q: an identical checkerboard patch (random
+      per-sample phase/contrast sign so texture identity leaks nothing)
+      is centered in quadrant q, fully interior to it — a
+      translation-equivariant trunk + global average pooling is blind
+      to WHERE the patch is, while quadrant-split features are not;
+    - the 47-FEATURE vector carries only b: two fixed class centers
+      plus noise.
+
+    Ceilings: numerical_only ≈ 2/8 resolved (~25% + margin noise),
+    image_only ≈ 4/8 (~50%), fusion ≈ 100%; GAP-pooled models lose q.
+    Returns (images NHWC f32, features f32, labels i32).
+    """
+    rng = np.random.default_rng(seed)
+    num_classes = 8
+    n = num_classes * per_class
+    labels = np.repeat(np.arange(num_classes), per_class).astype(np.int32)
+
+    h = image_size
+    patch = h // 4                      # patch side, centered in quadrant
+    cell = max(patch // 6, 1)           # checkerboard cell
+    py, px = np.mgrid[0:patch, 0:patch]
+    board = (((py // cell) + (px // cell)) % 2).astype(np.float32) * 2 - 1
+
+    images = rng.normal(0.0, image_noise,
+                        (n, h, h, 3)).astype(np.float32)
+    for i, c in enumerate(labels):
+        q = c // 2
+        qy, qx = divmod(q, 2)
+        cy = qy * (h // 2) + h // 4 - patch // 2
+        cx = qx * (h // 2) + h // 4 - patch // 2
+        sign = 1.0 if rng.random() < 0.5 else -1.0   # contrast sign
+        roll = rng.integers(0, 2 * cell)             # phase
+        tex = np.roll(np.roll(board, roll, 0), roll, 1) * sign
+        images[i, cy:cy + patch, cx:cx + patch, :] += tex[..., None]
+
+    centers = np.random.default_rng(class_seed).normal(
+        0, 1.0, (2, num_features)).astype(np.float32)
+    bits = labels % 2
+    features = centers[bits] + rng.normal(
+        0, feat_noise, (n, num_features)).astype(np.float32)
+
+    perm = rng.permutation(n)
+    return images[perm], features[perm], labels[perm]
+
+
 def make_synthetic_temporal(num_classes: int = 8, per_class: int = 8,
                             seq_len: int = 4, image_size: int = 64,
                             num_features: int = 47, seed: int = 0,
