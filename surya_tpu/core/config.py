@@ -60,6 +60,10 @@ class ModelConfig:
     # space-to-depth stem for resnet trunks (TPU MXU efficiency; exact
     # math equivalence — see models/backbones/resnet.py)
     stem_space_to_depth: bool = False
+    # ji_3dcnn/quadtree_3d: compute each (3,3,3) conv3d as 3 batched 2D
+    # convs (T folded into batch — models/temporal/conv3d.Conv3dAs2D;
+    # identical params, measured A/B in BENCH_NOTES)
+    conv3d_as_2d: bool = False
 
 
 @dataclass

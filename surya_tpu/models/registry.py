@@ -118,7 +118,7 @@ def _cnn_lstm(cfg: ModelConfig):
 def _ji3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.conv3d import Ji3DCNN
     return Ji3DCNN(num_classes=cfg.num_classes, dtype=_dtype(cfg),
-                   **_opt(cfg))
+                   conv3d_as_2d=cfg.conv3d_as_2d, **_opt(cfg))
 
 
 @register("quadtree_3d")
@@ -126,6 +126,7 @@ def _qt3d(cfg: ModelConfig):
     from surya_tpu.models.temporal.conv3d import Quadtree3DCNN
     return Quadtree3DCNN(num_classes=cfg.num_classes, mode=cfg.mode,
                          dtype=_dtype(cfg),
+                         conv3d_as_2d=cfg.conv3d_as_2d,
                          **_opt(cfg, num_features=True))
 
 

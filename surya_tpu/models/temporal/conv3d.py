@@ -25,6 +25,7 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from surya_tpu.models.common import FusionClassifier
@@ -33,11 +34,55 @@ from surya_tpu.models.temporal.recurrent import StackedLSTM, last_step
 QT3D_MODES = ("fusion", "image_only")
 
 
-def _conv3d_block(x, ch, dtype, train, name):
+class Conv3dAs2D(nn.Module):
+    """k=(3,3,3) SAME conv3d computed as 3 temporally-shifted batched
+    2D convs: y[t] = Σ_dt conv2d(x[t+dt-1], K[dt]).
+
+    Structural lever for the reference's Conv3d stacks
+    (``3dcnn/models.py:107-139``): TPU conv units are 2-D — XLA lowers
+    a (3,3,3) conv3d by materializing the temporal taps itself, and
+    this formulation instead folds T into the batch axis so each tap is
+    one large batched NHWC conv (maximal MXU tiling, no temporal
+    window bookkeeping in the hot loop). Parameter tree IDENTICAL to
+    ``nn.Conv(features, (3,3,3))`` — kernel (3,3,3,Cin,Cout) + bias —
+    so checkpoints/imports are unaffected and the two paths are
+    swappable per config (``ModelConfig.conv3d_as_2d``); equivalence is
+    pinned by tests/test_models.py.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel",
+                            nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        b, t, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        y = None
+        for dt in range(3):
+            xi = xp[:, dt:dt + t].reshape(b * t, h, w, cin)
+            yi = jax.lax.conv_general_dilated(
+                xi.astype(self.dtype), kernel[dt].astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yi if y is None else y + yi
+        y = y + bias.astype(self.dtype)
+        return y.reshape(b, t, h, w, self.features)
+
+
+def _conv3d_block(x, ch, dtype, train, name, as_2d=False):
     """Conv3d(k3,p1) + BN + ReLU — conv_3d_block equivalent."""
-    x = nn.Conv(ch, (3, 3, 3), padding=((1, 1), (1, 1), (1, 1)),
-                dtype=dtype, param_dtype=jnp.float32,
-                name=f"{name}_conv")(x)
+    if as_2d:
+        x = Conv3dAs2D(ch, dtype=dtype, name=f"{name}_conv")(x)
+    else:
+        x = nn.Conv(ch, (3, 3, 3), padding=((1, 1), (1, 1), (1, 1)),
+                    dtype=dtype, param_dtype=jnp.float32,
+                    name=f"{name}_conv")(x)
     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
                      name=f"{name}_bn")(x)
@@ -52,6 +97,7 @@ class Ji3DCNN(nn.Module):
     num_classes: int = 8
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    conv3d_as_2d: bool = False  # Conv3dAs2D decomposition (same params)
 
     @nn.compact
     def __call__(self, image_sequence, numerical_sequence,
@@ -65,11 +111,12 @@ class Ji3DCNN(nn.Module):
                 f"(torch raises 'Output size is too small' here, "
                 f"cnn+lstm/models.py:99-106)")
         x = image_sequence.astype(self.dtype)
-        x = _conv3d_block(x, 32, self.dtype, train, "block1")
+        as2d = self.conv3d_as_2d
+        x = _conv3d_block(x, 32, self.dtype, train, "block1", as2d)
         x = _pool3d(x, (1, 2, 2))
-        x = _conv3d_block(x, 64, self.dtype, train, "block2")
+        x = _conv3d_block(x, 64, self.dtype, train, "block2", as2d)
         x = _pool3d(x, (2, 2, 2))
-        x = _conv3d_block(x, 128, self.dtype, train, "block3")
+        x = _conv3d_block(x, 128, self.dtype, train, "block3", as2d)
         v = jnp.mean(x, axis=(1, 2, 3), dtype=self.dtype)  # (B, 128)
 
         lstm_out = StackedLSTM(hidden=64, num_layers=1, dtype=self.dtype,
@@ -91,6 +138,7 @@ class Quadtree3DCNN(nn.Module):
     num_features: int = 47
     dropout: float = 0.6
     dtype: Any = jnp.bfloat16
+    conv3d_as_2d: bool = False  # Conv3dAs2D decomposition (same params)
 
     @nn.compact
     def __call__(self, image_sequence, numerical_sequence,
@@ -106,7 +154,8 @@ class Quadtree3DCNN(nn.Module):
                 f"(torch raises 'Output size is too small'; the "
                 f"reference trains with T=5, "
                 f"3dcnn/train_3D_Quadtree_cnn_model.py:35)")
-        block = partial(_conv3d_block, dtype=self.dtype, train=train)
+        block = partial(_conv3d_block, dtype=self.dtype, train=train,
+                        as_2d=self.conv3d_as_2d)
 
         x = image_sequence.astype(self.dtype)
         x = _pool3d(block(x, ch=32, name="block1"), (1, 2, 2))

@@ -149,6 +149,37 @@ def test_dropout_active_in_train_mode():
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.parametrize("name", ["ji_3dcnn", "quadtree_3d"])
+def test_conv3d_as_2d_matches_conv3d(name):
+    """Conv3dAs2D (T folded into batch, 3 shifted 2D convs) == nn.Conv
+    (3,3,3) with the SAME params — the decomposition is a pure
+    reformulation (models/temporal/conv3d.py)."""
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 5, 32, 32, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 5, 47)), jnp.float32)
+
+    base = get_model(ModelConfig(name=name, num_classes=4,
+                                 compute_dtype="float32"))
+    variables = base.init({"params": jax.random.key(0)}, imgs, feats,
+                          train=False)
+    want = base.apply(variables, imgs, feats, train=False)
+
+    as2d = get_model(ModelConfig(name=name, num_classes=4,
+                                 compute_dtype="float32",
+                                 conv3d_as_2d=True))
+    # identical param TREE: the decomposed module reuses nn.Conv's
+    # kernel/bias names and shapes
+    shapes = jax.tree.map(jnp.shape, variables["params"])
+    shapes2 = jax.tree.map(
+        jnp.shape,
+        as2d.init({"params": jax.random.key(0)}, imgs, feats,
+                  train=False)["params"])
+    assert shapes == shapes2
+    got = as2d.apply(variables, imgs, feats, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_s2d_stem_matches_standard_stem():
     """Space-to-depth stem == standard 7x7/s2 stem, end-to-end through
     the trunk (same weights, converted)."""
