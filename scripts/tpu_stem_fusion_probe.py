@@ -31,15 +31,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def timed(fn, *args, steps):
+    # device_get the SCALAR accumulator (last leaf), never the big
+    # carry array: a 411 MB device_get through the axon tunnel costs
+    # ~50 s and would swamp the measurement entirely.
     import jax
 
     out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0])
+    jax.device_get(jax.tree.leaves(out)[-1])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.device_get(jax.tree.leaves(out)[0])
+        jax.device_get(jax.tree.leaves(out)[-1])
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -97,8 +100,11 @@ def main():
         def run(x, acc):
             def step(_, carry):
                 xx, a = carry
-                y, mean = stem(xx + a * 1e-18)
-                return xx, a + jnp.sum(mean)
+                y, mean = stem(xx + (a * 1e-18).astype(xx.dtype))
+                # consume the FULL map: without this XLA dead-codes the
+                # affine+ReLU write on either side and the A/B is void
+                return xx, a + jnp.sum(mean) + jnp.sum(
+                    y.astype(jnp.float32))
             return jax.lax.fori_loop(0, steps, step, (x, acc))
         return run
 
@@ -116,15 +122,16 @@ def main():
     cmap = jax.jit(conv)(images)
 
     def bn_xla(x, acc):
-        y, mean, _ = reference_bn_relu_train(x + acc * 1e-18, scale,
-                                             bias)
+        y, mean, _ = reference_bn_relu_train(
+            x + (acc * 1e-18).astype(x.dtype), scale, bias)
         return x, acc + jnp.sum(mean) + jnp.sum(
-            y[0, 0, 0].astype(jnp.float32))
+            y.astype(jnp.float32))
 
     def bn_pallas(x, acc):
-        y, mean, _ = fused_bn_relu_train(x + acc * 1e-18, scale, bias)
+        y, mean, _ = fused_bn_relu_train(
+            x + (acc * 1e-18).astype(x.dtype), scale, bias)
         return x, acc + jnp.sum(mean) + jnp.sum(
-            y[0, 0, 0].astype(jnp.float32))
+            y.astype(jnp.float32))
 
     for name, body in (("xla", bn_xla), ("pallas", bn_pallas)):
         @jax.jit

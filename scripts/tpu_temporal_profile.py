@@ -32,15 +32,18 @@ OUT = "runs/temporal_profile"
 
 
 def timed(fn, *args, steps):
+    # device_get the SCALAR accumulator (last leaf), never a big carry
+    # array: large device_gets through the axon tunnel cost seconds and
+    # would swamp the measurement (round-3 lesson, stem probe).
     import jax
 
     out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0])
+    jax.device_get(jax.tree.leaves(out)[-1])
     best = float("inf")
     for _ in range(3):  # best-of-3: tunnel noise ±10%
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.device_get(jax.tree.leaves(out)[0])
+        jax.device_get(jax.tree.leaves(out)[-1])
         best = min(best, time.perf_counter() - t0)
     return best
 
