@@ -53,8 +53,12 @@ IDX_TO_NAME = sorted(CLASS_NAMES)
 IMG = 96
 FRAMES_PER_CLIP = 12
 CLIPS = {"train": 4, "valid": 1, "test": 2}   # per class
-POSE_CKPT = os.environ.get(
-    "POSE_CKPT", "runs/pose_landmark_cpu/pose_landmark.msgpack")
+# prefer the full-size TPU-trained extractor (round 3); fall back to
+# the reduced CPU artifact so the demo still runs anywhere
+_POSE_DEFAULT = "runs/pose_landmark/pose_landmark.msgpack"
+if not os.path.exists(_POSE_DEFAULT):
+    _POSE_DEFAULT = "runs/pose_landmark_cpu/pose_landmark.msgpack"
+POSE_CKPT = os.environ.get("POSE_CKPT", _POSE_DEFAULT)
 OUT = "runs/full_workflow"
 SCRATCH = os.environ.get("WORKFLOW_SCRATCH", "/root/datasets/workflow")
 
