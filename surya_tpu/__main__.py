@@ -7,7 +7,7 @@ overrides).
       [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
   python -m surya_tpu bench
   python -m surya_tpu pack --root DATA --out DIR [--staging 256]
-  python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N]
+  python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N] [--input-dtype uint8]
   python -m surya_tpu export-torch CKPT out.pth [--preset P]
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
@@ -213,6 +213,11 @@ def cmd_export(argv: list[str]) -> int:
                     choices=["bfloat16", "float16", "float32"],
                     help="cast baked-in weights (bfloat16 roughly "
                          "halves the artifact; BN stats stay f32)")
+    ap.add_argument("--input-dtype", default="float32",
+                    choices=["float32", "bfloat16", "uint8"],
+                    help="image wire format: uint8 takes RAW 0-255 "
+                         "pixels and bakes the /255 into the program "
+                         "(4x smaller host->device transfer)")
     args, rest = ap.parse_known_args(argv)
     cfg = get_preset(args.preset)
     if rest:
@@ -224,10 +229,12 @@ def cmd_export(argv: list[str]) -> int:
                  batch_size=args.batch_size,
                  image_size=cfg.data.image_size,
                  param_dtype=(None if args.param_dtype is None
-                              else jnp.dtype(args.param_dtype)))
+                              else jnp.dtype(args.param_dtype)),
+                 input_dtype=jnp.dtype(args.input_dtype))
     print(json.dumps({"artifact": os.path.abspath(args.out),
                       "bytes": os.path.getsize(args.out),
                       "batch_size": args.batch_size,
+                      "input_dtype": args.input_dtype,
                       "model": cfg.model.name}))
     return 0
 

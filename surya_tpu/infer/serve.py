@@ -31,16 +31,17 @@ from surya_tpu.core.config import ModelConfig
 from surya_tpu.models import TEMPORAL_MODELS, get_model
 
 
-def _input_specs(cfg: ModelConfig, batch_size: int, image_size: int):
+def _input_specs(cfg: ModelConfig, batch_size: int, image_size: int,
+                 img_dtype=jnp.float32):
     if cfg.name in TEMPORAL_MODELS:
         img = jax.ShapeDtypeStruct(
             (batch_size, cfg.seq_len, image_size, image_size, 3),
-            jnp.float32)
+            img_dtype)
         feat = jax.ShapeDtypeStruct(
             (batch_size, cfg.seq_len, cfg.num_features), jnp.float32)
     else:
         img = jax.ShapeDtypeStruct(
-            (batch_size, image_size, image_size, 3), jnp.float32)
+            (batch_size, image_size, image_size, 3), img_dtype)
         feat = jax.ShapeDtypeStruct(
             (batch_size, cfg.num_features), jnp.float32)
     return img, feat
@@ -62,11 +63,25 @@ def _cast_params(variables, dtype):
 
 
 def _make_forward(cfg: ModelConfig, model):
-    """(variables, images, feats) → (preds int32 (B,), probs f32 (B,C))."""
+    """(variables, images, feats) → (preds int32 (B,), probs f32 (B,C)).
+
+    The traced dtype of ``images`` sets the wire format:
+      float32  — already-preprocessed [0,1] pixels (pipeline parity:
+                 ``data/dataset.py`` device_transform divides by 255).
+      uint8    — RAW 0-255 pixels; the ÷255 is traced into the compiled
+                 program, so the host→device transfer is 4× smaller.
+                 This is what a production server receives anyway.
+      bfloat16 — [0,1] pixels pre-cast on host; 2× smaller transfer,
+                 numerically free when the model computes in bf16.
+    """
 
     def forward(variables, images, feats):
         from surya_tpu.models.common import apply_mode_ablation
 
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        else:
+            images = images.astype(jnp.float32)
         images, feats = apply_mode_ablation(cfg.mode, images, feats)
         logits = model.apply(variables, images, feats, train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -91,13 +106,20 @@ class Predictor:
     ``param_dtype`` (e.g. ``jnp.bfloat16``) casts the float weights at
     load — halves the per-request parameter HBM traffic; BN statistics
     stay float32 (normalization precision, repo convention).
+
+    ``input_dtype`` sets the image wire format (see ``_make_forward``):
+    ``jnp.uint8`` accepts RAW 0-255 pixels and traces the ÷255 into the
+    compiled program — a 4× smaller host→device transfer, which is the
+    dominant serving cost off-chip. Feature vectors stay float32.
     """
 
     def __init__(self, cfg: ModelConfig, variables, batch_size: int = 32,
-                 image_size: int = 224, mesh=None, param_dtype=None):
+                 image_size: int = 224, mesh=None, param_dtype=None,
+                 input_dtype=jnp.float32):
         self.cfg = cfg
         self.batch_size = batch_size
         self.image_size = image_size
+        self.input_dtype = np.dtype(input_dtype)
         if param_dtype is not None:
             variables = _cast_params(variables, param_dtype)
         if mesh is not None:
@@ -111,7 +133,8 @@ class Predictor:
                     f"mesh data axis ({ddim})")
             self._variables = partition_params(variables, mesh)
             in_sh = jax.tree.map(lambda x: x.sharding, self._variables)
-            img, feat = _input_specs(cfg, batch_size, image_size)
+            img, feat = _input_specs(cfg, batch_size, image_size,
+                                     img_dtype=input_dtype)
             fn = jax.jit(
                 _make_forward(cfg, get_model(cfg)),
                 in_shardings=(in_sh, data_sharding(mesh, img.ndim),
@@ -121,7 +144,8 @@ class Predictor:
         else:
             self._variables = jax.device_put(variables)
             fn = jax.jit(_make_forward(cfg, get_model(cfg)))
-            img, feat = _input_specs(cfg, batch_size, image_size)
+            img, feat = _input_specs(cfg, batch_size, image_size,
+                                     img_dtype=input_dtype)
         var_spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
             self._variables)
@@ -142,7 +166,8 @@ class Predictor:
                     np.zeros((0, self.cfg.num_classes), np.float32))
         preds, probs = [], []
         for lo in range(0, n, self.batch_size):
-            img = np.asarray(images[lo:lo + self.batch_size], np.float32)
+            img = np.asarray(images[lo:lo + self.batch_size],
+                             self.input_dtype)
             ft = np.asarray(feats[lo:lo + self.batch_size], np.float32)
             pad = self.batch_size - img.shape[0]
             if pad:
@@ -159,14 +184,16 @@ class Predictor:
 def export_model(cfg: ModelConfig, variables, path: str,
                  batch_size: int = 32, image_size: int = 224,
                  platforms: tuple = ("cpu", "tpu"),
-                 param_dtype=None) -> None:
+                 param_dtype=None, input_dtype=jnp.float32) -> None:
     """Serialize the forward pass (params baked in) as a StableHLO
     artifact at ``path``. Loadable with ``load_exported``.
 
     ``platforms`` lowers for each listed backend (default cpu+tpu) so
     the artifact really is portable — a single-platform export refuses
     to run anywhere else. ``param_dtype`` (e.g. ``jnp.bfloat16``)
-    casts the baked-in weights — roughly halves the artifact."""
+    casts the baked-in weights — roughly halves the artifact.
+    ``input_dtype=jnp.uint8`` bakes raw-pixel normalization into the
+    artifact (see ``_make_forward``)."""
     model = get_model(cfg)
     forward = _make_forward(cfg, model)
     # Keep params on host: they are traced into the artifact as
@@ -179,7 +206,8 @@ def export_model(cfg: ModelConfig, variables, path: str,
     def serving_fn(images, feats):
         return forward(variables, images, feats)
 
-    img, feat = _input_specs(cfg, batch_size, image_size)
+    img, feat = _input_specs(cfg, batch_size, image_size,
+                             img_dtype=input_dtype)
     exported = jax.export.export(
         jax.jit(serving_fn), platforms=list(platforms))(img, feat)
     with open(path, "wb") as f:

@@ -76,6 +76,31 @@ def test_predictor_on_mesh_matches_single_device(quadtree_setup, mesh8):
         Predictor(cfg, variables, batch_size=3, mesh=mesh8)
 
 
+def test_predictor_uint8_wire_format(quadtree_setup, tmp_path):
+    """input_dtype=uint8 accepts raw 0-255 pixels and traces the /255
+    into the compiled program — identical probabilities to sending the
+    pre-normalized f32 pixels (u8→f32/255 on device == host /255)."""
+    cfg, variables, _, feats, _ = quadtree_setup
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, size=(3, 224, 224, 3), dtype=np.uint8)
+    norm = raw.astype(np.float32) / 255.0
+
+    pred_f32 = Predictor(cfg, variables, batch_size=4)
+    preds_f, probs_f = pred_f32.predict(norm, feats)
+    pred_u8 = Predictor(cfg, variables, batch_size=4,
+                        input_dtype=jnp.uint8)
+    preds_u, probs_u = pred_u8.predict(raw, feats)
+    np.testing.assert_allclose(probs_u, probs_f, atol=1e-5)
+    np.testing.assert_array_equal(preds_u, preds_f)
+
+    path = str(tmp_path / "quadtree_u8.stablehlo")
+    export_model(cfg, variables, path, batch_size=3,
+                 input_dtype=jnp.uint8)
+    loaded = load_exported(path)
+    preds_e, probs_e = loaded.call(jnp.asarray(raw), jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(probs_e), probs_f, atol=1e-5)
+
+
 def test_predictor_bf16_params(quadtree_setup):
     """param_dtype=bfloat16 casts weights but not BN statistics; the
     class probabilities stay close to the f32 reference."""
