@@ -9,7 +9,8 @@ program; the host contributes nothing but a PRNG key per step.
 Run: python scripts/pose_train_demo.py [STEPS] → runs/pose_landmark/
 Env knobs (bench.py convention, for reduced CPU runs when the TPU
 tunnel is down): POSE_SIZE, POSE_BATCH, POSE_WIDTH, POSE_OUT,
-POSE_PLATFORM=cpu.
+POSE_PLATFORM=cpu; POSE_OCCLUDE_P / POSE_MIRROR_P enable the
+generator's on-device occlusion / chirality augmentation.
 """
 
 from __future__ import annotations
@@ -39,4 +40,6 @@ if __name__ == "__main__":
         image_size=int(os.environ.get("POSE_SIZE", "256")),
         width=int(os.environ.get("POSE_WIDTH", "32")),
         out_dir=os.environ.get("POSE_OUT", "runs/pose_landmark"),
+        occlude_p=float(os.environ.get("POSE_OCCLUDE_P", "0")),
+        mirror_p=float(os.environ.get("POSE_MIRROR_P", "0")),
     )

@@ -8,6 +8,7 @@ overrides).
   python -m surya_tpu bench
   python -m surya_tpu pack --root DATA --out DIR [--staging 256]
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N] [--input-dtype uint8]
+  python -m surya_tpu serve CKPT [--preset P] [--port 8577] [--classes names.json]
   python -m surya_tpu export-torch CKPT out.pth [--preset P]
   python -m surya_tpu cam CKPT --preset P [--target layer4] [--out DIR]
   python -m surya_tpu video PARAMS VIDEO --classes names.json [--out f.mp4]
@@ -429,11 +430,17 @@ def cmd_pose_train(argv: list[str]) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="runs/pose_landmark")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--occlude-p", type=float, default=0.0,
+                    help="per-sample random-patch occlusion probability "
+                         "(on-device augmentation)")
+    ap.add_argument("--mirror-p", type=float, default=0.0,
+                    help="per-sample horizontal-mirror probability "
+                         "(chirality augmentation)")
     args = ap.parse_args(argv)
     summary = train_pose_landmark(
         steps=args.steps, batch=args.batch, image_size=args.image_size,
         width=args.width, out_dir=args.out, peak_lr=args.lr,
-        seed=args.seed)
+        seed=args.seed, occlude_p=args.occlude_p, mirror_p=args.mirror_p)
     return 0 if summary["pck10"] > 0 else 1
 
 
@@ -474,6 +481,10 @@ def main() -> int:
         from surya_tpu.infer.video import main as video_main
 
         return video_main(argv)
+    if cmd == "serve":
+        from surya_tpu.infer.http_server import main as serve_main
+
+        return serve_main(argv)
     if cmd == "export":
         return cmd_export(argv)
     if cmd == "export-torch":

@@ -209,19 +209,68 @@ def render_pose(xy: jax.Array, z: jax.Array, image_size: int = 256,
     return img.reshape(s, s, 3)
 
 
+def augment_pose_batch(key: jax.Array, imgs: jax.Array, xy: jax.Array,
+                       occlude_p: float = 0.0, mirror_p: float = 0.0
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Occlusion + mirror augmentation, on device, inside the jitted
+    data program. Returns (imgs, xy); z and visibility are unchanged —
+    an occluded joint keeps its coordinate target (the net must infer
+    it from kinematic context, matching the robustness eval's contract,
+    ``scripts/pose_robustness_eval.py``).
+
+    occlude_p — per-sample probability of a random black square patch
+      (side S/4..S/2) pasted after rendering.
+    mirror_p — per-sample probability of a horizontal flip with x→1−x
+      targets and UNCHANGED landmark indices: the subject's left limbs
+      now appear on the image's left, so side identity is readable only
+      from the renderer's per-side channel coding — exactly MediaPipe's
+      chirality contract on mirrored video.
+    """
+    b, s = imgs.shape[0], imgs.shape[1]
+    ko1, ko2, ko3, ko4, km = jax.random.split(key, 5)
+    if occlude_p > 0.0:
+        side = jax.random.randint(ko1, (b,), s // 4, s // 2 + 1)
+        oy = jax.random.randint(ko2, (b,), 0, s - s // 4)
+        ox = jax.random.randint(ko3, (b,), 0, s - s // 4)
+        gate = jax.random.bernoulli(ko4, occlude_p, (b,))
+        yy = jnp.arange(s)[None, :, None]
+        xx = jnp.arange(s)[None, None, :]
+        patch = ((yy >= oy[:, None, None])
+                 & (yy < (oy + side)[:, None, None])
+                 & (xx >= ox[:, None, None])
+                 & (xx < (ox + side)[:, None, None]))
+        imgs = jnp.where((patch & gate[:, None, None])[..., None],
+                         0.0, imgs)
+    if mirror_p > 0.0:
+        gate = jax.random.bernoulli(km, mirror_p, (b,))
+        imgs = jnp.where(gate[:, None, None, None],
+                         imgs[:, :, ::-1, :], imgs)
+        xy = jnp.where(gate[:, None, None],
+                       xy.at[..., 0].set(1.0 - xy[..., 0]), xy)
+    return imgs, xy
+
+
 def make_pose_batch(key: jax.Array, batch_size: int,
-                    image_size: int = 256, noise: float = 0.03):
+                    image_size: int = 256, noise: float = 0.03,
+                    occlude_p: float = 0.0, mirror_p: float = 0.0):
     """One jittable program: (key) → (images (B,S,S,3), xy, z, vis).
 
     Intended use: ``jax.jit(partial(make_pose_batch, batch_size=B,
     image_size=S))`` — the whole data pipeline for the pose model runs
     on device, nothing crosses the host boundary but the key.
+
+    ``occlude_p`` / ``mirror_p`` enable :func:`augment_pose_batch`
+    (static gates: the defaults compile to the exact pre-augmentation
+    program, bit-for-bit).
     """
     kp, kn = jax.random.split(key)
     xy, z, vis = jax.vmap(sample_pose)(jax.random.split(kp, batch_size))
     imgs = jax.vmap(lambda a, b: render_pose(a, b, image_size))(xy, z)
     imgs = jnp.clip(
         imgs + noise * jax.random.normal(kn, imgs.shape), 0.0, 1.0)
+    if occlude_p > 0.0 or mirror_p > 0.0:
+        imgs, xy = augment_pose_batch(jax.random.fold_in(key, 7),
+                                      imgs, xy, occlude_p, mirror_p)
     return imgs, xy, z, vis
 
 

@@ -38,12 +38,20 @@ def train_pose_landmark(steps: int = 600, batch: int = 64,
                         image_size: int = 256, width: int = 32,
                         out_dir: str = "runs/pose_landmark",
                         peak_lr: float = 1e-3, eval_every: int = 50,
-                        seed: int = 0, echo: bool = True) -> dict:
+                        seed: int = 0, echo: bool = True,
+                        occlude_p: float = 0.0,
+                        mirror_p: float = 0.0) -> dict:
     """Train, log JSONL metrics, save the msgpack checkpoint.
 
     Returns the summary dict (also written to ``out_dir/summary.json``):
     holdout PCK@0.05/0.10, mean pixel error, z MAE, visibility accuracy,
     parameter count, wall time, checkpoint path.
+
+    ``occlude_p`` / ``mirror_p`` turn on the generator's on-device
+    occlusion / chirality augmentation (``augment_pose_batch``) inside
+    the jitted step — closes the occlusion and mirrored-input failure
+    modes of the unaugmented model (BENCH_NOTES robustness table). The
+    holdout eval batch stays unaugmented (in-distribution anchor).
     """
     os.makedirs(out_dir, exist_ok=True)
     model = PoseLandmarkNet(width=width)
@@ -61,7 +69,9 @@ def train_pose_landmark(steps: int = 600, batch: int = 64,
     @jax.jit
     def train_step(params, opt, key):
         kd, knext = jax.random.split(key)
-        imgs, xy, z, vis = make_pose_batch(kd, batch, image_size)
+        imgs, xy, z, vis = make_pose_batch(
+            kd, batch, image_size,
+            occlude_p=occlude_p, mirror_p=mirror_p)
 
         def loss_fn(p):
             out = model.apply({"params": p}, imgs)
@@ -113,6 +123,7 @@ def train_pose_landmark(steps: int = 600, batch: int = 64,
     save_pose_params(ckpt, params, image_size=image_size)
     summary = {"steps": steps, "batch": batch, "image_size": image_size,
                "width": width, "params": n_params,
+               "occlude_p": occlude_p, "mirror_p": mirror_p,
                "backend": jax.default_backend(),
                "wall_s": round(time.time() - t0, 1),
                "checkpoint": ckpt, **final}

@@ -84,6 +84,66 @@ def test_pose_batch_jit_matches_eager():
     assert bool(jnp.all((vis >= 0) & (vis <= 1)))
 
 
+def test_augment_defaults_are_identity():
+    """occlude_p=mirror_p=0 must reproduce the unaugmented batch
+    bit-for-bit (same key splits, augment branch not traced)."""
+    key = jax.random.PRNGKey(3)
+    base = sp.make_pose_batch(key, 4, image_size=64)
+    same = sp.make_pose_batch(key, 4, image_size=64,
+                              occlude_p=0.0, mirror_p=0.0)
+    for a, b in zip(base, same):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_augment_occlusion_blacks_a_patch_targets_unchanged():
+    """occlude_p=1: every image gains an axis-aligned zero patch of
+    side S/4..S/2; landmark/z/vis targets are untouched (the net must
+    infer occluded joints from kinematic context)."""
+    key = jax.random.PRNGKey(11)
+    imgs0, xy0, z0, vis0 = sp.make_pose_batch(key, 4, image_size=64)
+    imgs1, xy1, z1, vis1 = sp.make_pose_batch(key, 4, image_size=64,
+                                              occlude_p=1.0)
+    np.testing.assert_array_equal(np.asarray(xy1), np.asarray(xy0))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z0))
+    np.testing.assert_array_equal(np.asarray(vis1), np.asarray(vis0))
+    diff = np.asarray(imgs0) != np.asarray(imgs1)
+    for i in range(4):
+        changed = np.argwhere(diff[i].any(axis=-1))
+        assert changed.size, "no patch applied"
+        (y0, x0), (y1, x1) = changed.min(0), changed.max(0)
+        # Patch interior (where base was nonzero) must be exactly 0.
+        assert np.all(np.asarray(imgs1)[i][diff[i]] == 0.0)
+        # Changed pixels fit a square of side <= S/2 (may be clipped).
+        assert y1 - y0 < 32 and x1 - x0 < 32
+
+
+def test_augment_mirror_flips_image_and_x_targets():
+    key = jax.random.PRNGKey(13)
+    imgs0, xy0, z0, vis0 = sp.make_pose_batch(key, 4, image_size=64)
+    imgs1, xy1, z1, vis1 = sp.make_pose_batch(key, 4, image_size=64,
+                                              mirror_p=1.0)
+    np.testing.assert_array_equal(np.asarray(imgs1),
+                                  np.asarray(imgs0)[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(xy1)[..., 0],
+                               1.0 - np.asarray(xy0)[..., 0], atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(xy1)[..., 1],
+                                  np.asarray(xy0)[..., 1])
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z0))
+    np.testing.assert_array_equal(np.asarray(vis1), np.asarray(vis0))
+
+
+def test_augment_probabilities_gate_per_sample():
+    """At p=0.5 over a biggish batch, some samples are augmented and
+    some are not (both gates are per-sample Bernoulli)."""
+    key = jax.random.PRNGKey(17)
+    imgs0, *_ = sp.make_pose_batch(key, 16, image_size=32)
+    imgs1, *_ = sp.make_pose_batch(key, 16, image_size=32,
+                                   occlude_p=0.5)
+    per_sample_changed = (
+        (np.asarray(imgs0) != np.asarray(imgs1)).any(axis=(1, 2, 3)))
+    assert 0 < per_sample_changed.sum() < 16
+
+
 def test_train_overfit_improves():
     """~60 Adam steps on 16 fixed synthetic figures: loss and PCK must
     both move decisively (SURVEY §4e tiny-train pattern)."""
