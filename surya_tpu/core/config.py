@@ -291,6 +291,11 @@ def _preset_3dcnn(name: str = "quadtree_3d") -> Config:
 
 def _preset_fact() -> Config:
     # VIT/fact_model_train.py:27-31 — BS 32, lr 1e-4, wd 1e-5, clip 1.0, T=4.
+    # NOTE: BS 32 is reference parity, not the TPU throughput optimum —
+    # the measured v5e batch sweep (BENCH_NOTES.md "FACT batch sweep":
+    # BS 8 → 204.8, BS 16 → 235.2, BS 32 → 211.9, BS 64 → 184.6 clips/s)
+    # has its knee at BS 16 (+15%, 50.9% MFU). Use the `fact-bs16`
+    # preset when throughput matters more than exact-hyper parity.
     return Config(
         name="fact",
         model=ModelConfig(name="fact", seq_len=4, freeze_backbone=True),
@@ -299,6 +304,16 @@ def _preset_fact() -> Config:
                           checkpoint_metric="val_accuracy",
                           early_stop_metric="val_accuracy"),
     )
+
+
+def _preset_fact_bs16() -> Config:
+    # Perf variant of `fact`: identical model/optimizer hypers, batch 16
+    # — the measured v5e throughput knee (BENCH_NOTES.md "FACT batch
+    # sweep", 235.2 clips/s, 50.9% MFU; past 16 the per-frame ViT's
+    # activation footprint pushes XLA into less fused schedules).
+    cfg = _preset_fact()
+    return cfg.replace(name="fact-bs16",
+                       data=dataclasses.replace(cfg.data, batch_size=16))
 
 
 _PRESETS = {
@@ -317,6 +332,7 @@ _PRESETS = {
     "resnet3d-video": lambda: _preset_3dcnn("resnet3d_video"),
     "hybrid-quadtree-3d": lambda: _preset_3dcnn("hybrid_quadtree_3d"),
     "fact": _preset_fact,
+    "fact-bs16": _preset_fact_bs16,
 }
 
 

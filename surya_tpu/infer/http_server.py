@@ -15,7 +15,10 @@ Endpoints
 
 Request body for /predict:
   * ``application/x-npz`` (preferred): ``np.savez`` bytes with arrays
-    ``images`` (N,H,W,3) and ``features`` (N,F). Image dtype must match
+    ``images`` (N,H,W,3) and ``features`` (N,F) — or, for a temporal
+    checkpoint (``--preset fact``, ``cnn-lstm``, ...), sequence inputs
+    ``images`` (N,T,H,W,3) and ``features`` (N,T,F) through the same
+    wire. Image dtype must match
     the server's wire format — raw uint8 pixels when started with
     ``--input-dtype uint8`` (4× smaller requests, the production
     default), float32 [0,1] otherwise.
@@ -76,14 +79,30 @@ class PredictionServer:
         if content_type.startswith("application/json"):
             req = json.loads(body.decode("utf-8"))
             try:
-                # JSON is the convenience path: number lists carry exact
-                # values, so cast straight to the wire dtype (int lists
-                # would otherwise land as int64 and fail the strictness
-                # check meant for binary bodies).
-                images = np.asarray(req["images"], dtype=wire)
+                # JSON is the convenience path: parse at full precision
+                # first so a uint8 wire can VERIFY the values are raw
+                # 0-255 integers before casting — [0,1] float pixels
+                # cast straight to uint8 truncate to all-zeros and
+                # return confidently wrong predictions with a 200.
+                images = np.asarray(req["images"], np.float64)
                 feats = np.asarray(req["features"], np.float32)
             except KeyError as e:
                 raise ValueError(f"missing field {e.args[0]!r}") from e
+            except (TypeError, ValueError) as e:
+                # ragged or non-numeric nested lists → 400, not 500
+                raise ValueError(
+                    f"images/features must be rectangular numeric "
+                    f"lists: {e}") from e
+            if wire == np.uint8:
+                if images.size and (np.any(images != np.floor(images))
+                                    or images.min() < 0
+                                    or images.max() > 255):
+                    raise ValueError(
+                        "this server's wire format is uint8 raw pixels; "
+                        "JSON image values must be integers in [0, 255] "
+                        "(got float or out-of-range values — send raw "
+                        "pixels, not normalized ones)")
+            images = images.astype(wire)
         else:  # npz (the efficient path)
             try:
                 with np.load(io.BytesIO(body)) as z:
@@ -119,11 +138,19 @@ class PredictionServer:
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
 
-            def _send(self, code: int, payload: dict) -> None:
+            def _send(self, code: int, payload: dict,
+                      close: bool = False) -> None:
                 raw = json.dumps(payload).encode("utf-8")
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(raw)))
+                if close:
+                    # Rejecting a request WITHOUT reading its body:
+                    # under HTTP/1.1 keep-alive the unread body bytes
+                    # would be parsed as the next request line, so end
+                    # the connection instead of desyncing it.
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(raw)
 
@@ -140,7 +167,8 @@ class PredictionServer:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= _MAX_BODY:
                     self._send(413 if n else 400,
-                               {"error": f"bad Content-Length {n}"})
+                               {"error": f"bad Content-Length {n}"},
+                               close=True)
                     return
                 body = self.rfile.read(n)
                 try:
@@ -191,6 +219,11 @@ def main(argv: list[str]) -> int:
     if args.classes:
         with open(args.classes) as f:
             class_names = json.load(f)
+        if len(class_names) < cfg.model.num_classes:
+            raise SystemExit(
+                f"--classes lists {len(class_names)} names but the "
+                f"model has {cfg.model.num_classes} classes; every "
+                "/predict with labels would 500 on IndexError")
 
     variables = load_checkpoint_variables(args.checkpoint)
     predictor = Predictor(cfg.model, variables,

@@ -159,7 +159,26 @@ class Predictor:
         return dict(cost) if cost else {}
 
     def predict(self, images: np.ndarray, feats: np.ndarray):
-        """→ (preds int (N,), probs f32 (N, num_classes)) for N samples."""
+        """→ (preds int (N,), probs f32 (N, num_classes)) for N samples.
+
+        The caller's image dtype must match the wire format: a uint8
+        wire takes raw 0-255 pixels only, a float wire takes [0,1]
+        pixels only. A silent ``asarray`` cast in either direction
+        produces confidently wrong predictions (0-255 floats fed to a
+        float wire are ~255× out of scale; [0,1] floats cast to uint8
+        truncate to 0), so mismatches raise instead."""
+        images = np.asarray(images)
+        wire = self.input_dtype
+        if wire == np.uint8:
+            if images.dtype != np.uint8:
+                raise ValueError(
+                    "this predictor's wire format is uint8 raw pixels; "
+                    f"got {images.dtype} (send raw 0-255 uint8 pixels)")
+        elif np.issubdtype(images.dtype, np.integer):
+            raise ValueError(
+                f"this predictor's wire format is {wire} [0,1] pixels; "
+                f"got integer dtype {images.dtype} (normalize with /255 "
+                "first, or serve with input_dtype=uint8)")
         n = images.shape[0]
         if n == 0:
             return (np.zeros((0,), np.int32),

@@ -102,6 +102,31 @@ def test_malformed_bodies_raise_value_error(server_setup):
                          "application/x-npz")
 
 
+def test_json_float_pixels_rejected_on_uint8_wire(server_setup):
+    """Normalized [0,1] float pixels sent as JSON to a uint8-wire server
+    must 400, not truncate to all-zeros and answer confidently
+    (ADVICE r3: the npz path already rejected this, JSON did not)."""
+    srv, raw, feats, *_ = server_setup
+    norm = (raw.astype(np.float64) / 255.0)
+    body = json.dumps({"images": norm.tolist(),
+                       "features": feats.tolist()}).encode()
+    with pytest.raises(ValueError, match="wire format is uint8"):
+        srv.handle_bytes(body, "application/json")
+    # out-of-range integers are rejected too
+    body = json.dumps({"images": (raw.astype(np.int64) + 300).tolist(),
+                       "features": feats.tolist()}).encode()
+    with pytest.raises(ValueError, match="wire format is uint8"):
+        srv.handle_bytes(body, "application/json")
+
+
+def test_json_ragged_lists_are_400_not_500(server_setup):
+    srv, raw, feats, *_ = server_setup
+    body = json.dumps({"images": [[1, 2], [3]],
+                       "features": feats.tolist()}).encode()
+    with pytest.raises(ValueError, match="rectangular"):
+        srv.handle_bytes(body, "application/json")
+
+
 def test_info_contract(server_setup):
     srv, *_ = server_setup
     info = srv.info()
@@ -109,6 +134,47 @@ def test_info_contract(server_setup):
     assert info["model"] == "quadtree"
     assert info["input_dtype"] == "uint8"
     assert info["classes"] == CLASSES
+
+
+def test_temporal_server_round_trip():
+    """Sequence-input serving over real sockets: a temporal checkpoint
+    (ji_3dcnn) behind the same uint8-wire HTTP path — (N,T,H,W,3)
+    images + (N,T,F) features in one npz body (VERDICT r3 item 8)."""
+    cfg = ModelConfig(name="ji_3dcnn", num_classes=5, seq_len=4,
+                      compute_dtype="float32")
+    model = get_model(cfg)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(3, 4, 32, 32, 3), dtype=np.uint8)
+    feats = rng.normal(size=(3, 4, 47)).astype(np.float32)
+    norm = raw.astype(np.float32) / 255.0
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.asarray(norm), jnp.asarray(feats),
+                           train=False)
+    predictor = Predictor(cfg, variables, batch_size=4, image_size=32,
+                          input_dtype=jnp.uint8)
+    want_preds, _ = predictor.predict(raw, feats)
+    srv = PredictionServer(predictor, class_names=CLASSES)
+
+    assert srv.info()["model"] == "ji_3dcnn"
+    out = srv.handle_bytes(_npz_bytes(raw, feats), "application/x-npz")
+    np.testing.assert_array_equal(out["predictions"], want_preds)
+
+    httpd = srv.make_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=_npz_bytes(raw, feats),
+            headers={"Content-Type": "application/x-npz"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        np.testing.assert_array_equal(out["predictions"], want_preds)
+        assert out["labels"] == [CLASSES[i] for i in want_preds]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_localhost_round_trip(server_setup):

@@ -101,6 +101,52 @@ def test_predictor_uint8_wire_format(quadtree_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(probs_e), probs_f, atol=1e-5)
 
 
+def test_predict_rejects_wire_dtype_mismatch(quadtree_setup):
+    """A float wire must reject raw uint8 pixels (they'd be fed ~255×
+    out of scale) and a uint8 wire must reject floats (they'd truncate
+    to 0) — both produced confidently wrong predictions before."""
+    cfg, variables, images, feats, _ = quadtree_setup
+    raw = (np.clip(images, 0, 1) * 255).astype(np.uint8)
+
+    pred_f32 = Predictor(cfg, variables, batch_size=4)
+    with pytest.raises(ValueError, match="integer dtype"):
+        pred_f32.predict(raw, feats)
+
+    pred_u8 = Predictor(cfg, variables, batch_size=4,
+                        input_dtype=jnp.uint8)
+    with pytest.raises(ValueError, match="wire format is uint8"):
+        pred_u8.predict(images, feats)
+
+
+def test_predictor_temporal_model():
+    """Sequence-input serving: a temporal checkpoint (ji_3dcnn) runs
+    through the same Predictor path — (N,T,H,W,3)+(N,T,F) inputs,
+    chunking/padding, uint8 wire (VERDICT r3 item 8)."""
+    cfg = ModelConfig(name="ji_3dcnn", num_classes=5, seq_len=4,
+                      compute_dtype="float32")
+    model = get_model(cfg)
+    rng = np.random.default_rng(2)
+    images = rng.random((3, 4, 32, 32, 3)).astype(np.float32)
+    feats = rng.normal(size=(3, 4, 47)).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.asarray(images), jnp.asarray(feats),
+                           train=False)
+    want = np.asarray(jax.nn.softmax(model.apply(
+        variables, jnp.asarray(images), jnp.asarray(feats),
+        train=False).astype(jnp.float32), axis=-1))
+
+    pred = Predictor(cfg, variables, batch_size=2, image_size=32)
+    preds, probs = pred.predict(images, feats)  # 3 → chunk + padded tail
+    assert preds.shape == (3,) and probs.shape == (3, 5)
+    np.testing.assert_allclose(probs, want, atol=1e-5)
+
+    raw = (images * 255).astype(np.uint8)
+    pred_u8 = Predictor(cfg, variables, batch_size=4, image_size=32,
+                        input_dtype=jnp.uint8)
+    preds_u, _ = pred_u8.predict(raw, feats)
+    assert preds_u.shape == (3,)
+
+
 def test_predictor_bf16_params(quadtree_setup):
     """param_dtype=bfloat16 casts weights but not BN statistics; the
     class probabilities stay close to the f32 reference."""
