@@ -53,11 +53,16 @@ IDX_TO_NAME = sorted(CLASS_NAMES)
 IMG = 96
 FRAMES_PER_CLIP = 12
 CLIPS = {"train": 4, "valid": 1, "test": 2}   # per class
-# prefer the full-size TPU-trained extractor (round 3); fall back to
-# the reduced CPU artifact so the demo still runs anywhere
-_POSE_DEFAULT = "runs/pose_landmark/pose_landmark.msgpack"
-if not os.path.exists(_POSE_DEFAULT):
-    _POSE_DEFAULT = "runs/pose_landmark_cpu/pose_landmark.msgpack"
+# prefer the occlusion+mirror-augmented full-size extractor (round 4:
+# runs/pose_landmark_aug/robustness.json — occlusion PCK@0.05 0.527 →
+# 0.713, chirality 0.733 → 0.999, in-dist unchanged), then the
+# unaugmented round-3 one, then the reduced CPU artifact so the demo
+# still runs anywhere
+for _POSE_DEFAULT in ("runs/pose_landmark_aug/pose_landmark.msgpack",
+                      "runs/pose_landmark/pose_landmark.msgpack",
+                      "runs/pose_landmark_cpu/pose_landmark.msgpack"):
+    if os.path.exists(_POSE_DEFAULT):
+        break
 POSE_CKPT = os.environ.get("POSE_CKPT", _POSE_DEFAULT)
 OUT = "runs/full_workflow"
 SCRATCH = os.environ.get("WORKFLOW_SCRATCH", "/root/datasets/workflow")

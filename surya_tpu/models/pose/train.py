@@ -126,7 +126,14 @@ def train_pose_landmark(steps: int = 600, batch: int = 64,
                "occlude_p": occlude_p, "mirror_p": mirror_p,
                "backend": jax.default_backend(),
                "wall_s": round(time.time() - t0, 1),
-               "checkpoint": ckpt, **final}
+               "checkpoint": ckpt,
+               # the metrics below are on the CLEAN in-distribution
+               # holdout (make_pose_batch, key 99 — no occlusion or
+               # mirroring even when those augmentations are on);
+               # perturbation-suite numbers live in robustness.json
+               # (scripts/pose_robustness_eval.py)
+               "eval_distribution": "clean in-dist holdout (key 99)",
+               **final}
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     if echo:
