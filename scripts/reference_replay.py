@@ -1,0 +1,249 @@
+"""Reference-replay campaign (round-4 VERDICT items 1 + 4).
+
+Reproduces the reference's comparison tables *as a user would produce
+them* — presets + CLI + compare tier, no bespoke loops:
+
+- spatial (``/root/reference/README.md:140-143``): `quadtree-fusion`,
+  the three `experiment-*` ablations and the `comparative-*` backbones
+  driven through ``python -m surya_tpu train`` on the 224px replay
+  dataset (packed pipeline), ≥3 seeds each, then the
+  ``python -m surya_tpu compare`` tier on the seed-0 checkpoints;
+- temporal (``README.md:149``, CNN+LSTM ~71.68% = weakest family):
+  `cnn-lstm`, `ji-3dcnn`, `quadtree-3d`, `resnet3d-video`,
+  `hybrid-quadtree-3d`, `fact` on the temporal replay windows.
+
+Each subprocess is one real CLI invocation; per-run stdout JSON is
+cached as ``result.json`` so the campaign is resumable. The final
+``table.json`` mirrors the reference's table shape: per-model seed
+bands (mean ± std over seeds) with accuracy/precision/recall/F1 and
+the ordering checks.
+
+Run: python scripts/reference_replay.py --phase all
+     [--root /root/datasets/replay224] [--seeds 3]
+     [--out runs/reference_replay]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPATIAL_PRESETS = [
+    "quadtree-fusion",
+    "experiment-fusion",
+    "experiment-image-only",
+    "experiment-numerical-only",
+    "comparative-resnet18",
+    "comparative-resnet50",
+    "comparative-vgg16",
+    "comparative-mobilenet-v2",
+    "comparative-densenet121",
+]
+TEMPORAL_PRESETS = [
+    "cnn-lstm",
+    "ji-3dcnn",
+    "quadtree-3d",
+    "resnet3d-video",
+    "hybrid-quadtree-3d",
+    "fact",
+]
+# presets whose seq_len (5) matches the stored windows; cnn-lstm/fact
+# use T=4 and truncate (repeat-last-frame parity semantics,
+# cnn+lstm/dataloader.py:50-62)
+
+RUN_TIMEOUT = 3600
+
+
+def run_cli(args_list, timeout=RUN_TIMEOUT):
+    p = subprocess.run([sys.executable, "-m", "surya_tpu"] + args_list,
+                       cwd=REPO, capture_output=True, text=True,
+                       timeout=timeout)
+    return p
+
+
+def train_one(preset, seed, out_dir, overrides):
+    """One CLI train run; returns the final stdout JSON dict."""
+    res_path = os.path.join(out_dir, "result.json")
+    if os.path.exists(res_path):
+        with open(res_path) as f:
+            return json.load(f)
+    t0 = time.time()
+    p = run_cli(["train", "--preset", preset, "--out", out_dir,
+                 f"--train.seed={seed}"] + overrides)
+    line = None
+    for ln in reversed(p.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    if p.returncode != 0 or line is None:
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:])
+        raise RuntimeError(f"train {preset} seed {seed} failed "
+                           f"(rc {p.returncode})")
+    result = json.loads(line)
+    result.update(preset=preset, seed=seed,
+                  wall_seconds=round(time.time() - t0, 1))
+    with open(res_path, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def campaign(presets, seeds, out_root, overrides):
+    results = []
+    for preset in presets:
+        for seed in range(seeds):
+            out_dir = os.path.join(out_root, f"{preset}_s{seed}")
+            os.makedirs(out_dir, exist_ok=True)
+            r = train_one(preset, seed, out_dir, overrides)
+            acc = r["test"]["accuracy"]
+            print(f"  {preset} seed {seed}: test {acc:.4f} "
+                  f"({r.get('wall_seconds', 0):.0f}s)", flush=True)
+            results.append(r)
+    return results
+
+
+def bands(results):
+    out = {}
+    for preset in {r["preset"] for r in results}:
+        rs = [r for r in results if r["preset"] == preset]
+        accs = [r["test"]["accuracy"] for r in rs]
+        out[preset] = {
+            "mean": float(np.mean(accs)), "std": float(np.std(accs)),
+            "accs": accs,
+            "precision": float(np.mean(
+                [r["test"].get("precision", 0) for r in rs])),
+            "recall": float(np.mean(
+                [r["test"].get("recall", 0) for r in rs])),
+            "f1": float(np.mean([r["test"].get("f1", 0) for r in rs])),
+        }
+    return out
+
+
+def separated(hi, lo):
+    """Non-overlapping seed bands: mean-std of hi above mean+std of lo."""
+    return bool(hi["mean"] - hi["std"] > lo["mean"] + lo["std"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/root/datasets/replay224")
+    ap.add_argument("--out", default="runs/reference_replay")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--phase", default="all",
+                    choices=("spatial", "temporal", "compare", "table",
+                             "all"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    spatial_root = os.path.join(args.root, "spatial")
+    packed = os.path.join(args.root, "spatial_packed")
+    temporal_root = os.path.join(args.root, "temporal")
+
+    if args.phase in ("spatial", "all"):
+        if not os.path.isdir(packed):
+            print("== packing spatial replay dataset", flush=True)
+            p = run_cli(["pack", "--root", spatial_root, "--out", packed,
+                         "--staging", "256"])
+            print(p.stdout.strip()[-200:])
+            assert p.returncode == 0, p.stderr[-2000:]
+        print("== spatial campaign", flush=True)
+        campaign(SPATIAL_PRESETS, args.seeds,
+                 os.path.join(args.out, "spatial"),
+                 [f"--data.data_root={spatial_root}",
+                  f"--data.packed_dir={packed}"])
+
+    if args.phase in ("temporal", "all"):
+        print("== temporal campaign", flush=True)
+        campaign(TEMPORAL_PRESETS, args.seeds,
+                 os.path.join(args.out, "temporal"),
+                 [f"--data.seq_root={temporal_root}"])
+
+    if args.phase in ("compare", "all"):
+        print("== compare tier (seed-0 checkpoints)", flush=True)
+        entries = [
+            f"{p}={os.path.join(args.out, 'spatial', p + '_s0', 'ckpt')}"
+            f":{p}"
+            for p in ("quadtree-fusion", "comparative-resnet18",
+                      "comparative-vgg16", "comparative-mobilenet-v2")]
+        p = run_cli(["compare"] + entries +
+                    ["--split", "valid", "--out",
+                     os.path.join(args.out, "compare"),
+                     f"--data.data_root={spatial_root}",
+                     f"--data.packed_dir={packed}"])
+        print(p.stdout.strip()[-500:])
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-3000:])
+
+    if args.phase in ("table", "all"):
+        results = []
+        for sub in ("spatial", "temporal"):
+            d = os.path.join(args.out, sub)
+            if not os.path.isdir(d):
+                continue
+            for run in sorted(os.listdir(d)):
+                rp = os.path.join(d, run, "result.json")
+                if os.path.exists(rp):
+                    with open(rp) as f:
+                        results.append(json.load(f))
+        b = bands(results)
+        orderings = {}
+        if "quadtree-fusion" in b:
+            for other in ("comparative-resnet18", "comparative-resnet50",
+                          "comparative-vgg16", "comparative-mobilenet-v2",
+                          "comparative-densenet121",
+                          "experiment-image-only",
+                          "experiment-numerical-only"):
+                if other in b:
+                    orderings[f"quadtree-fusion_gt_{other}"] = separated(
+                        b["quadtree-fusion"], b[other])
+            qf = b["quadtree-fusion"]["mean"]
+            orderings["flagship_unsaturated"] = bool(qf < 0.99)
+            orderings["flagship_band"] = [
+                round(b["quadtree-fusion"]["mean"]
+                      - b["quadtree-fusion"]["std"], 4),
+                round(b["quadtree-fusion"]["mean"]
+                      + b["quadtree-fusion"]["std"], 4)]
+        if "experiment-fusion" in b and "experiment-image-only" in b:
+            orderings["fusion_gt_image_only"] = separated(
+                b["experiment-fusion"], b["experiment-image-only"])
+        if ("experiment-image-only" in b
+                and "experiment-numerical-only" in b):
+            orderings["image_only_gt_numerical_only"] = separated(
+                b["experiment-image-only"], b["experiment-numerical-only"])
+        if "cnn-lstm" in b:
+            for other in TEMPORAL_PRESETS:
+                if other != "cnn-lstm" and other in b:
+                    orderings[f"{other}_gt_cnn-lstm"] = separated(
+                        b[other], b["cnn-lstm"])
+        table = {
+            "meta": {
+                "dataset": args.root,
+                "seeds": args.seeds,
+                "reference_table": "README.md:140-143 (spatial), "
+                                   ":149 (temporal)",
+                "hypers": "preset-encoded (Quadtree_train.py:18-23, "
+                          "experiment/train_cnn_model.py:29-33, "
+                          "cnn+lstm/training.py:26-29, "
+                          "3dcnn/train_3D_Quadtree_cnn_model.py:29-43, "
+                          "VIT/fact_model_train.py:27-31)",
+                "pipeline": "python -m surya_tpu train (packed spatial"
+                            " cache; .npz sequence windows)",
+            },
+            "bands": dict(sorted(b.items())),
+            "orderings": orderings,
+        }
+        with open(os.path.join(args.out, "table.json"), "w") as f:
+            json.dump(table, f, indent=2)
+        print(json.dumps({"bands": {k: round(v["mean"], 4)
+                                    for k, v in sorted(b.items())},
+                          "orderings": orderings}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ overrides).
   python -m surya_tpu list-presets
   python -m surya_tpu train --preset quadtree-fusion \
       [--synthetic] [--out DIR] [--plot] [--train.lr=3e-4 ...]
+  python -m surya_tpu compare NAME=CKPT:PRESET ... [--split valid] [--out DIR]
   python -m surya_tpu bench
   python -m surya_tpu pack --root DATA --out DIR [--staging 256]
   python -m surya_tpu export CKPT out.stablehlo [--preset P] [--batch-size N] [--input-dtype uint8]
@@ -444,6 +445,55 @@ def cmd_pose_train(argv: list[str]) -> int:
     return 0 if summary["pck10"] > 0 else 1
 
 
+def cmd_compare(argv: list[str]) -> int:
+    """Multi-model comparison tier (``comparative analysis/
+    analysis.py:33-167`` as a CLI): evaluate N trained checkpoints on
+    one split, print accuracy + weighted P/R/F1 + R² per model, write
+    per-model confusion matrices and the comparison bar chart.
+
+      python -m surya_tpu compare quadtree=runs/a/ckpt:quadtree-fusion \
+          resnet18=runs/b/ckpt:comparative-resnet18 \
+          [--split valid] [--out DIR] [--data.data_root=... ...]
+    """
+    import argparse
+
+    from surya_tpu.core.config import get_preset, parse_cli_overrides
+    from surya_tpu.core.checkpoint import load_checkpoint_variables
+    from surya_tpu.train.compare import compare_models
+
+    ap = argparse.ArgumentParser(prog="surya_tpu compare")
+    ap.add_argument("entries", nargs="+",
+                    help="NAME=CKPT_PATH:PRESET triples")
+    ap.add_argument("--split", default="valid")
+    ap.add_argument("--out", default=None)
+    args, rest = ap.parse_known_args(argv)
+    overrides = parse_cli_overrides(rest) if rest else {}
+
+    entries = []
+    for spec in args.entries:
+        if "=" not in spec or ":" not in spec.split("=", 1)[1]:
+            raise SystemExit(f"bad entry {spec!r}; "
+                             "expected NAME=CKPT_PATH:PRESET")
+        name, rhs = spec.split("=", 1)
+        path, preset = rhs.rsplit(":", 1)
+        cfg = get_preset(preset)
+        if overrides:
+            cfg = cfg.override(overrides)
+        load_checkpoint_variables(path)  # fail fast on a bad path
+        entries.append({"name": name, "cfg": cfg, "params_path": path})
+
+    cfg0 = entries[0]["cfg"]
+    mesh = _build_mesh(cfg0)
+    data = _build_data(cfg0, pad_eval_to=mesh.shape["data"])
+    summary = compare_models(entries, data, split=args.split,
+                             out_dir=args.out, mesh=mesh)
+    if args.out:
+        with open(os.path.join(args.out, "comparison.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_list_presets() -> int:
     from surya_tpu.core.config import get_preset, list_presets
 
@@ -471,6 +521,8 @@ def main() -> int:
         return cmd_train(argv)
     if cmd == "eval":
         return cmd_eval(argv)
+    if cmd == "compare":
+        return cmd_compare(argv)
     if cmd == "list-presets":
         return cmd_list_presets()
     if cmd == "pack":

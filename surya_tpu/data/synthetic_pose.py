@@ -115,6 +115,32 @@ def _rot2(theta):
     return jnp.array([[c, -s], [s, c]], jnp.float32)
 
 
+def articulate(swings: jax.Array) -> jax.Array:
+    """Deterministic forward kinematics: (8,) chain angles → (33,2) xy.
+
+    The articulation half of :func:`sample_pose`, factored out so a
+    pose identity (its joint angles) can be rendered under SEVERAL
+    camera transforms — the oracle novel-view generator behind the
+    augmentation-value study (the synthetic stand-in for Zero123-Plus
+    multiview generation, ``Zero123/batch_aug.py:47``)."""
+    xy = jnp.asarray(TEMPLATE_XY)
+    for ci in range(len(_CHAINS)):
+        pivot = xy[_CHAIN_PIVOTS[ci]]
+        rotated = (xy - pivot) @ _rot2(swings[ci]).T + pivot
+        m = _CHAIN_MASKS[ci][:, None]
+        xy = m * rotated + (1.0 - m) * xy
+    return xy
+
+
+def camera_transform(xy: jax.Array, scale, theta, trans) -> jax.Array:
+    """Global similarity transform (the 'camera'): rotate by ``theta``
+    about the body center, scale, translate. Same math as the random
+    global transform inside :func:`sample_pose`."""
+    center = jnp.array([0.5, 0.55], jnp.float32)
+    return ((xy - center) @ _rot2(theta).T * scale + center
+            + jnp.asarray(trans, jnp.float32))
+
+
 def sample_pose(key: jax.Array, swing_center: jax.Array | None = None,
                 swing_spread: float = 1.0
                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -133,7 +159,6 @@ def sample_pose(key: jax.Array, swing_center: jax.Array | None = None,
     body). Defaults reproduce the unconditional sampler bit-for-bit.
     """
     ks = jax.random.split(key, 7)
-    xy = jnp.asarray(TEMPLATE_XY)
 
     # Limb articulation, proximal chains first.
     swings = jax.random.uniform(
@@ -142,18 +167,13 @@ def sample_pose(key: jax.Array, swing_center: jax.Array | None = None,
         swings = jnp.clip(jnp.asarray(swing_center)
                           + swing_spread * swings,
                           -_CHAIN_RANGE, _CHAIN_RANGE)
-    for ci in range(len(_CHAINS)):
-        pivot = xy[_CHAIN_PIVOTS[ci]]
-        rotated = (xy - pivot) @ _rot2(swings[ci]).T + pivot
-        m = _CHAIN_MASKS[ci][:, None]
-        xy = m * rotated + (1.0 - m) * xy
+    xy = articulate(swings)
 
     # Global similarity transform.
     scale = jax.random.uniform(ks[1], minval=0.55, maxval=0.95)
     theta = jax.random.uniform(ks[2], minval=-0.5, maxval=0.5)
     trans = jax.random.uniform(ks[3], (2,), minval=-0.12, maxval=0.12)
-    center = jnp.array([0.5, 0.55], jnp.float32)
-    xy = (xy - center) @ _rot2(theta).T * scale + center + trans
+    xy = camera_transform(xy, scale, theta, trans)
 
     # Per-joint jitter (uncorrelated detail the net must localize).
     xy = xy + 0.01 * jax.random.normal(ks[4], xy.shape)

@@ -6,7 +6,13 @@ import sys
 
 import numpy as np
 
-from surya_tpu.__main__ import cmd_cam, cmd_eval, cmd_list_presets, cmd_train
+from surya_tpu.__main__ import (
+    cmd_cam,
+    cmd_compare,
+    cmd_eval,
+    cmd_list_presets,
+    cmd_train,
+)
 
 
 def test_list_presets(capsys):
@@ -62,6 +68,27 @@ def test_train_and_eval_cli(tmp_path, capsys):
             for f in fs if f.endswith("_cam.jpg")]
     assert jpgs, "no CAM overlays written"
     assert all("_pred_" in f for f in jpgs)
+
+    # compare tier through the CLI (analysis.py:33-167 as a command):
+    # same checkpoint under two entry names, synthetic source
+    cmp_dir = str(tmp_path / "cmp")
+    rc = cmd_compare([
+        f"qt_a={os.path.join(out_dir, 'ckpt')}:quadtree-fusion",
+        f"qt_b={os.path.join(out_dir, 'ckpt')}:quadtree-fusion",
+        "--split", "valid", "--out", cmp_dir,
+        "--data.synthetic=true", "--model.num_classes=3",
+        "--data.image_size=32", "--data.synthetic_size=24",
+        "--data.batch_size=8",
+    ])
+    assert rc == 0
+    summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(summary) == {"qt_a", "qt_b"}
+    assert summary["qt_a"]["accuracy"] == summary["qt_b"]["accuracy"]
+    assert "r2" in summary["qt_a"]
+    assert os.path.exists(os.path.join(cmp_dir, "comparison.json"))
+    assert os.path.exists(os.path.join(cmp_dir, "comparison.png"))
+    assert os.path.exists(os.path.join(cmp_dir, "confusion_qt_a.png"))
 
 
 def test_pose_train_cli(tmp_path, capsys):
