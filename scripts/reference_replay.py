@@ -60,6 +60,30 @@ TEMPORAL_PRESETS = [
 # cnn+lstm/dataloader.py:50-62)
 
 RUN_TIMEOUT = 3600
+STALL_SECONDS = 360     # no metrics.jsonl growth for this long = wedged
+ATTEMPTS = 5
+PROBE = ("import jax, jax.numpy as jnp; "
+         "print(jnp.ones((8, 8)).sum())")
+
+
+def wait_for_tpu(max_wait: float = 7200) -> None:
+    """Block until the axon tunnel serves a tiny compute (it goes
+    fully down at times — CLAUDE.md); probe every 90 s."""
+    t0 = time.time()
+    while True:
+        try:
+            p = subprocess.run([sys.executable, "-c", PROBE],
+                               capture_output=True, text=True,
+                               timeout=120)
+            if p.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait:
+            raise RuntimeError(f"TPU unreachable for {max_wait:.0f}s")
+        print(f"  [tpu-wait] tunnel down {time.time() - t0:.0f}s, "
+              "reprobing in 90s", flush=True)
+        time.sleep(90)
 
 
 def run_cli(args_list, timeout=RUN_TIMEOUT):
@@ -69,24 +93,70 @@ def run_cli(args_list, timeout=RUN_TIMEOUT):
     return p
 
 
+def _run_watched(cli_args, out_dir, timeout, log):
+    """Run one CLI subprocess with a progress watchdog: the axon TPU
+    tunnel can wedge mid-run (an RPC never returns — CLAUDE.md), which
+    a plain timeout only catches an hour later. Kill + signal a retry
+    if metrics.jsonl stops growing for STALL_SECONDS."""
+    metrics = os.path.join(out_dir, "metrics.jsonl")
+    with open(log, "w") as lf:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "surya_tpu"] + cli_args,
+            cwd=REPO, stdout=lf, stderr=subprocess.STDOUT, text=True)
+        t0 = time.time()
+        last_size, last_change = -1, time.time()
+        while True:
+            try:
+                proc.wait(timeout=20)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            size = (os.path.getsize(metrics)
+                    if os.path.exists(metrics) else -1)
+            if size != last_size:
+                last_size, last_change = size, time.time()
+            stalled = time.time() - last_change > STALL_SECONDS
+            if stalled or time.time() - t0 > timeout:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+                return None, ("stalled" if stalled else "timeout")
+    with open(log) as lf:
+        out = lf.read()
+    return (out, None) if proc.returncode == 0 else (out, "failed")
+
+
 def train_one(preset, seed, out_dir, overrides):
-    """One CLI train run; returns the final stdout JSON dict."""
+    """One CLI train run (watchdogged, retried); returns the final
+    stdout JSON dict."""
     res_path = os.path.join(out_dir, "result.json")
     if os.path.exists(res_path):
         with open(res_path) as f:
             return json.load(f)
+    cli = ["train", "--preset", preset, "--out", out_dir,
+           f"--train.seed={seed}"] + overrides
     t0 = time.time()
-    p = run_cli(["train", "--preset", preset, "--out", out_dir,
-                 f"--train.seed={seed}"] + overrides)
-    line = None
-    for ln in reversed(p.stdout.strip().splitlines()):
-        if ln.startswith("{"):
-            line = ln
+    for attempt in range(ATTEMPTS):
+        out, err = _run_watched(cli, out_dir,
+                                RUN_TIMEOUT, os.path.join(
+                                    out_dir, f"run_{attempt}.log"))
+        if err is None:
             break
-    if p.returncode != 0 or line is None:
-        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:])
-        raise RuntimeError(f"train {preset} seed {seed} failed "
-                           f"(rc {p.returncode})")
+        print(f"  [retry] {preset} seed {seed}: attempt {attempt} "
+              f"{err}", flush=True)
+        wait_for_tpu()  # don't burn attempts while the tunnel is down
+    else:
+        raise RuntimeError(f"train {preset} seed {seed}: all "
+                           f"{ATTEMPTS} attempts failed ({err})")
+    line = next((ln for ln in reversed(out.strip().splitlines())
+                 if ln.startswith("{")), None)
+    if line is None:
+        sys.stderr.write(out[-3000:])
+        raise RuntimeError(f"train {preset} seed {seed}: no result "
+                           "line")
     result = json.loads(line)
     result.update(preset=preset, seed=seed,
                   wall_seconds=round(time.time() - t0, 1))
@@ -101,7 +171,14 @@ def campaign(presets, seeds, out_root, overrides):
         for seed in range(seeds):
             out_dir = os.path.join(out_root, f"{preset}_s{seed}")
             os.makedirs(out_dir, exist_ok=True)
-            r = train_one(preset, seed, out_dir, overrides)
+            try:
+                r = train_one(preset, seed, out_dir, overrides)
+            except RuntimeError as e:
+                # tunnel-init flakiness: skip, keep the campaign going;
+                # re-invoking the phase retries (result.json caching)
+                print(f"  [FAILED] {preset} seed {seed}: {e}",
+                      flush=True)
+                continue
             acc = r["test"]["accuracy"]
             print(f"  {preset} seed {seed}: test {acc:.4f} "
                   f"({r.get('wall_seconds', 0):.0f}s)", flush=True)
@@ -160,9 +237,16 @@ def main():
 
     if args.phase in ("temporal", "all"):
         print("== temporal campaign", flush=True)
-        campaign(TEMPORAL_PRESETS, args.seeds,
-                 os.path.join(args.out, "temporal"),
-                 [f"--data.seq_root={temporal_root}"])
+        # PackedSequenceSource auto-builds per seq_len on first use
+        # (windows truncate 5→4 with the loader's repeat-last parity)
+        t4 = [p for p in TEMPORAL_PRESETS if p in ("cnn-lstm", "fact")]
+        t5 = [p for p in TEMPORAL_PRESETS if p not in t4]
+        for presets, pdir in ((t4, f"{temporal_root}_packed_t4"),
+                              (t5, f"{temporal_root}_packed_t5")):
+            campaign(presets, args.seeds,
+                     os.path.join(args.out, "temporal"),
+                     [f"--data.seq_root={temporal_root}",
+                      f"--data.packed_dir={pdir}"])
 
     if args.phase in ("compare", "all"):
         print("== compare tier (seed-0 checkpoints)", flush=True)
