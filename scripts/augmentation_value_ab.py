@@ -199,7 +199,15 @@ def main():
     ap.add_argument("--preset", default="cnn-lstm")
     ap.add_argument("--phase", default="all",
                     choices=("generate", "train", "all"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="render the dataset on host CPU (the "
+                         "JAX_PLATFORMS env var is ignored here — "
+                         "axon latches the platform; see CLAUDE.md)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(OUT, exist_ok=True)
 
     if args.phase in ("generate", "all") and not os.path.isdir(

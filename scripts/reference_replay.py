@@ -47,13 +47,13 @@ SPATIAL_PRESETS = [
     "comparative-mobilenet-v2",
     "comparative-densenet121",
 ]
-TEMPORAL_PRESETS = [
+TEMPORAL_PRESETS = [            # VERDICT-item-4 families first
     "cnn-lstm",
-    "ji-3dcnn",
+    "fact",
     "quadtree-3d",
     "resnet3d-video",
+    "ji-3dcnn",
     "hybrid-quadtree-3d",
-    "fact",
 ]
 # presets whose seq_len (5) matches the stored windows; cnn-lstm/fact
 # use T=4 and truncate (repeat-last-frame parity semantics,
