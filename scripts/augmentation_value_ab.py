@@ -38,7 +38,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -47,7 +46,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = "runs/augmentation_value"
 CLIPS = {"train": 5, "valid": 2, "test": 3}
 FRAMES = 10
@@ -166,26 +164,42 @@ def generate(root: str, views: int, seed: int = 0):
 
 
 def train_arm(root, arm, seed, preset="cnn-lstm"):
+    """One in-process preset run (same presets/pipeline/loop as the
+    CLI's cmd_train; startup amortized across the batch — the axon
+    tunnel's per-process init stalls dominate subprocess runs)."""
     out_dir = os.path.join(OUT, f"{preset}_{arm}_s{seed}")
     res_path = os.path.join(out_dir, "result.json")
     if os.path.exists(res_path):
         with open(res_path) as f:
             return json.load(f)
     os.makedirs(out_dir, exist_ok=True)
+
+    from surya_tpu.__main__ import _build_data, _build_mesh
+    from surya_tpu.core.config import get_preset
+    from surya_tpu.core.metrics import MetricsLogger
+    from surya_tpu.train import train_and_evaluate
+
+    cfg = get_preset(preset).override({
+        "data.seq_root": os.path.join(root, "seq_" + arm),
+        "train.seed": str(seed),
+        "train.checkpoint_dir": os.path.join(out_dir, "ckpt"),
+    })
     t0 = time.time()
-    p = subprocess.run(
-        [sys.executable, "-m", "surya_tpu", "train", "--preset", preset,
-         "--out", out_dir, f"--train.seed={seed}",
-         f"--data.seq_root={os.path.join(root, 'seq_' + arm)}"],
-        cwd=REPO, capture_output=True, text=True, timeout=3600)
-    line = next((ln for ln in reversed(p.stdout.strip().splitlines())
-                 if ln.startswith("{")), None)
-    if p.returncode != 0 or line is None:
-        sys.stderr.write(p.stdout[-1500:] + "\n" + p.stderr[-3000:])
-        raise RuntimeError(f"{arm} seed {seed} failed")
-    r = json.loads(line)
-    r.update(arm=arm, seed=seed, preset=preset,
-             wall_seconds=round(time.time() - t0, 1))
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"),
+                           echo=False)
+    try:
+        mesh = _build_mesh(cfg)
+        data = _build_data(cfg, pad_eval_to=mesh.shape["data"])
+        summary = train_and_evaluate(cfg, data, mesh=mesh,
+                                     logger=logger, checkpoints=False)
+    finally:
+        logger.close()
+    r = {"best_epoch": summary["best_epoch"],
+         "best_metric": summary["best_metric"],
+         "test": {k: float(v) for k, v in summary["test"].items()
+                  if k != "confusion"},
+         "arm": arm, "seed": seed, "preset": preset,
+         "wall_seconds": round(time.time() - t0, 1)}
     with open(res_path, "w") as f:
         json.dump(r, f, indent=2)
     return r
