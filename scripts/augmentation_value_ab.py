@@ -231,8 +231,8 @@ def main():
 
     if args.phase in ("train", "all"):
         results = []
-        for arm in ("base", "aug"):
-            for seed in range(args.seeds):
+        for seed in range(args.seeds):       # seed-major: pairs first
+            for arm in ("base", "aug"):
                 r = train_arm(args.root, arm, seed, args.preset)
                 print(f"  {arm} seed {seed}: "
                       f"test {r['test']['accuracy']:.4f}", flush=True)

@@ -65,8 +65,10 @@ def run_jobs(root: str, seeds: int) -> bool:
             return super().log(*a, **kw)
 
     all_done = True
-    for preset in PRESETS:
-        for seed in range(seeds):
+    # seed-major: every family lands a seed-0 row before second seeds
+    # (graceful degradation under tunnel outages)
+    for seed in range(seeds):
+        for preset in PRESETS:
             out_dir = os.path.join(OUT, f"{preset}_s{seed}")
             res_path = os.path.join(out_dir, "result.json")
             if os.path.exists(res_path):
