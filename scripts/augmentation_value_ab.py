@@ -163,11 +163,19 @@ def generate(root: str, views: int, seed: int = 0):
         print(f"  windows[{arm}]: {counts}", flush=True)
 
 
-def train_arm(root, arm, seed, preset="cnn-lstm"):
+def train_arm(root, arm, seed, preset="cnn-lstm", trainable=False):
     """One in-process preset run (same presets/pipeline/loop as the
     CLI's cmd_train; startup amortized across the batch — the axon
-    tunnel's per-process init stalls dominate subprocess runs)."""
-    out_dir = os.path.join(OUT, f"{preset}_{arm}_s{seed}")
+    tunnel's per-process init stalls dominate subprocess runs).
+
+    ``trainable`` unfreezes the image trunk: the reference-parity
+    cnn-lstm freezes its ResNet (``cnn+lstm/models.py:26-27``) because
+    it is ImageNet-pretrained; with random weights a frozen trunk
+    cripples the image path — the only path novel VIEWS can help — so
+    the A/B is also run in the trainable regime where the mechanism
+    can act."""
+    tag = f"{preset}-trainable" if trainable else preset
+    out_dir = os.path.join(OUT, f"{tag}_{arm}_s{seed}")
     res_path = os.path.join(out_dir, "result.json")
     if os.path.exists(res_path):
         with open(res_path) as f:
@@ -183,6 +191,7 @@ def train_arm(root, arm, seed, preset="cnn-lstm"):
         "data.seq_root": os.path.join(root, "seq_" + arm),
         "train.seed": str(seed),
         "train.checkpoint_dir": os.path.join(out_dir, "ckpt"),
+        **({"model.freeze_backbone": "false"} if trainable else {}),
     })
     t0 = time.time()
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"),
@@ -198,7 +207,7 @@ def train_arm(root, arm, seed, preset="cnn-lstm"):
          "best_metric": summary["best_metric"],
          "test": {k: float(v) for k, v in summary["test"].items()
                   if k != "confusion"},
-         "arm": arm, "seed": seed, "preset": preset,
+         "arm": arm, "seed": seed, "preset": tag,
          "wall_seconds": round(time.time() - t0, 1)}
     with open(res_path, "w") as f:
         json.dump(r, f, indent=2)
@@ -213,6 +222,8 @@ def main():
     ap.add_argument("--preset", default="cnn-lstm")
     ap.add_argument("--phase", default="all",
                     choices=("generate", "train", "all"))
+    ap.add_argument("--trainable", action="store_true",
+                    help="unfreeze the image trunk (see train_arm)")
     ap.add_argument("--cpu", action="store_true",
                     help="render the dataset on host CPU (the "
                          "JAX_PLATFORMS env var is ignored here — "
@@ -233,7 +244,8 @@ def main():
         results = []
         for seed in range(args.seeds):       # seed-major: pairs first
             for arm in ("base", "aug"):
-                r = train_arm(args.root, arm, seed, args.preset)
+                r = train_arm(args.root, arm, seed, args.preset,
+                              trainable=args.trainable)
                 print(f"  {arm} seed {seed}: "
                       f"test {r['test']['accuracy']:.4f}", flush=True)
                 results.append(r)
@@ -251,7 +263,14 @@ def main():
                 "mechanism": "oracle novel views via articulate()+"
                              "camera_transform() (Zero123 stand-in, "
                              "Zero123/batch_aug.py:47)",
-                "preset": args.preset, "seeds": args.seeds,
+                "preset": (f"{args.preset}-trainable" if args.trainable
+                           else args.preset),
+                "regime": ("trainable trunk (mechanism-enabled)"
+                           if args.trainable else
+                           "frozen trunk (cnn+lstm/models.py:26-27 "
+                           "parity; random weights — image path "
+                           "crippled)"),
+                "seeds": args.seeds,
                 "views_per_train_clip": 1 + args.views,
                 "eval": "valid/test are view-00 windows of HELD-OUT "
                         "clips, identical across arms",
@@ -266,7 +285,8 @@ def main():
                 "view augmentation helps (bands overlap)" if gain > 0
                 else "no measured benefit"),
         }
-        with open(os.path.join(OUT, "ab.json"), "w") as f:
+        name = "ab_trainable.json" if args.trainable else "ab.json"
+        with open(os.path.join(OUT, name), "w") as f:
             json.dump(ab, f, indent=2)
         print(json.dumps(ab, indent=2))
 
