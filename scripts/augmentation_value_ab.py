@@ -285,7 +285,11 @@ def main():
                 "view augmentation helps (bands overlap)" if gain > 0
                 else "no measured benefit"),
         }
-        name = "ab_trainable.json" if args.trainable else "ab.json"
+        tag = (f"{args.preset}-trainable" if args.trainable
+               else args.preset)
+        name = {"cnn-lstm": "ab.json",
+                "cnn-lstm-trainable": "ab_trainable.json"}.get(
+                    tag, f"ab_{tag}.json")
         with open(os.path.join(OUT, name), "w") as f:
             json.dump(ab, f, indent=2)
         print(json.dumps(ab, indent=2))
