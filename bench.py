@@ -13,6 +13,7 @@ backward + Adam update, batch 128 at 224×224, on the default JAX device.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -68,12 +69,8 @@ def main() -> None:
     from surya_tpu.models import TEMPORAL_MODELS
 
     model_name = os.environ.get("BENCH_MODEL", "quadtree")
-    temporal = model_name in TEMPORAL_MODELS
-    default_bs = "32" if temporal else "256"
-    batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    seq_len = int(os.environ.get("BENCH_SEQ_LEN", "4"))
     stem_s2d = os.environ.get("BENCH_S2D", "0") == "1"
     # BENCH_FREEZE=1 matches the reference's frozen-backbone training
     # regime (cnn+lstm/training.py, VIT/fact_model_train.py, the
@@ -81,14 +78,47 @@ def main() -> None:
     # (train/steps.py stop_frozen_gradients)
     freeze = os.environ.get("BENCH_FREEZE", "0") == "1"
 
-    cfg = Config(
-        model=ModelConfig(name=model_name, mode="fusion", num_classes=8,
-                          compute_dtype="bfloat16", use_pallas=use_pallas,
-                          seq_len=seq_len, stem_space_to_depth=stem_s2d,
-                          freeze_backbone=freeze),
-        data=DataConfig(batch_size=batch_size),
-        train=TrainConfig(lr=1e-4, weight_decay=1e-4, nan_guard=False),
-    )
+    from surya_tpu.core.config import list_presets, get_preset
+
+    if model_name in list_presets():
+        # BENCH_MODEL may name a PRESET (e.g. fact-bs16): bench the
+        # exact model/batch configuration a user trains with, so
+        # BENCH_NOTES numbers are measured through the preset path.
+        pcfg = get_preset(model_name)
+        temporal = pcfg.model.name in TEMPORAL_MODELS
+        batch_size = int(os.environ.get("BENCH_BATCH",
+                                        str(pcfg.data.batch_size)))
+        seq_len = int(os.environ.get("BENCH_SEQ_LEN",
+                                     str(pcfg.model.seq_len)))
+        cfg = Config(
+            model=dataclasses.replace(
+                pcfg.model, compute_dtype="bfloat16",
+                use_pallas=use_pallas or pcfg.model.use_pallas,
+                seq_len=seq_len,
+                stem_space_to_depth=stem_s2d
+                or pcfg.model.stem_space_to_depth,
+                freeze_backbone=(freeze if "BENCH_FREEZE" in os.environ
+                                 else pcfg.model.freeze_backbone)),
+            data=dataclasses.replace(pcfg.data, batch_size=batch_size),
+            train=dataclasses.replace(pcfg.train, nan_guard=False),
+        )
+    else:
+        temporal = model_name in TEMPORAL_MODELS
+        default_bs = "32" if temporal else "256"
+        batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
+        seq_len = int(os.environ.get("BENCH_SEQ_LEN", "4"))
+        cfg = Config(
+            model=ModelConfig(name=model_name, mode="fusion",
+                              num_classes=8,
+                              compute_dtype="bfloat16",
+                              use_pallas=use_pallas,
+                              seq_len=seq_len,
+                              stem_space_to_depth=stem_s2d,
+                              freeze_backbone=freeze),
+            data=DataConfig(batch_size=batch_size),
+            train=TrainConfig(lr=1e-4, weight_decay=1e-4,
+                              nan_guard=False),
+        )
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
     if temporal:

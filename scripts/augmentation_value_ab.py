@@ -281,8 +281,10 @@ def main():
             "gain": gain,
             "separated_bands": bool(sep),
             "conclusion": (
-                "view augmentation helps" if gain > 0 and sep else
-                "view augmentation helps (bands overlap)" if gain > 0
+                "view augmentation helps (non-overlapping seed bands)"
+                if gain > 0 and sep else
+                "positive mean gain but seed bands overlap — "
+                "suggestive, not separated" if gain > 0
                 else "no measured benefit"),
         }
         tag = (f"{args.preset}-trainable" if args.trainable

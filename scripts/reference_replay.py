@@ -12,11 +12,14 @@ them* — presets + CLI + compare tier, no bespoke loops:
   `cnn-lstm`, `ji-3dcnn`, `quadtree-3d`, `resnet3d-video`,
   `hybrid-quadtree-3d`, `fact` on the temporal replay windows.
 
-Each subprocess is one real CLI invocation; per-run stdout JSON is
-cached as ``result.json`` so the campaign is resumable. The final
-``table.json`` mirrors the reference's table shape: per-model seed
-bands (mean ± std over seeds) with accuracy/precision/recall/F1 and
-the ordering checks.
+Training runs are delegated to the unified in-process batch runner
+(``scripts/replay_batch.py`` — one campaign entry point, watchdogged
+against tunnel stalls, resumable via per-run ``result.json``); this
+script owns the pack/compare phases and the final ``table.json``,
+which mirrors the reference's table shape: per-model seed bands
+(mean ± std over seeds) with accuracy/precision/recall/F1, the
+ordering checks, control-row bands, and an explicit ``failures`` list
+(error rows are surfaced, never silently dropped).
 
 Run: python scripts/reference_replay.py --phase all
      [--root /root/datasets/replay224] [--seeds 3]
@@ -30,7 +33,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 import numpy as np
 
@@ -63,30 +65,6 @@ TEMPORAL_PRESETS = [            # VERDICT-item-4 families first
 # cnn+lstm/dataloader.py:50-62)
 
 RUN_TIMEOUT = 3600
-STALL_SECONDS = 360     # no metrics.jsonl growth for this long = wedged
-ATTEMPTS = 5
-PROBE = ("import jax, jax.numpy as jnp; "
-         "print(jnp.ones((8, 8)).sum())")
-
-
-def wait_for_tpu(max_wait: float = 7200) -> None:
-    """Block until the axon tunnel serves a tiny compute (it goes
-    fully down at times — CLAUDE.md); probe every 90 s."""
-    t0 = time.time()
-    while True:
-        try:
-            p = subprocess.run([sys.executable, "-c", PROBE],
-                               capture_output=True, text=True,
-                               timeout=120)
-            if p.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() - t0 > max_wait:
-            raise RuntimeError(f"TPU unreachable for {max_wait:.0f}s")
-        print(f"  [tpu-wait] tunnel down {time.time() - t0:.0f}s, "
-              "reprobing in 90s", flush=True)
-        time.sleep(90)
 
 
 def run_cli(args_list, timeout=RUN_TIMEOUT):
@@ -94,99 +72,6 @@ def run_cli(args_list, timeout=RUN_TIMEOUT):
                        cwd=REPO, capture_output=True, text=True,
                        timeout=timeout)
     return p
-
-
-def _run_watched(cli_args, out_dir, timeout, log):
-    """Run one CLI subprocess with a progress watchdog: the axon TPU
-    tunnel can wedge mid-run (an RPC never returns — CLAUDE.md), which
-    a plain timeout only catches an hour later. Kill + signal a retry
-    if metrics.jsonl stops growing for STALL_SECONDS."""
-    metrics = os.path.join(out_dir, "metrics.jsonl")
-    with open(log, "w") as lf:
-        proc = subprocess.Popen(
-            [sys.executable, "-m", "surya_tpu"] + cli_args,
-            cwd=REPO, stdout=lf, stderr=subprocess.STDOUT, text=True)
-        t0 = time.time()
-        last_size, last_change = -1, time.time()
-        while True:
-            try:
-                proc.wait(timeout=20)
-                break
-            except subprocess.TimeoutExpired:
-                pass
-            size = (os.path.getsize(metrics)
-                    if os.path.exists(metrics) else -1)
-            if size != last_size:
-                last_size, last_change = size, time.time()
-            stalled = time.time() - last_change > STALL_SECONDS
-            if stalled or time.time() - t0 > timeout:
-                proc.terminate()
-                try:
-                    proc.wait(timeout=15)
-                except subprocess.TimeoutExpired:
-                    proc.kill()
-                    proc.wait()
-                return None, ("stalled" if stalled else "timeout")
-    with open(log) as lf:
-        out = lf.read()
-    return (out, None) if proc.returncode == 0 else (out, "failed")
-
-
-def train_one(preset, seed, out_dir, overrides):
-    """One CLI train run (watchdogged, retried); returns the final
-    stdout JSON dict."""
-    res_path = os.path.join(out_dir, "result.json")
-    if os.path.exists(res_path):
-        with open(res_path) as f:
-            return json.load(f)
-    cli = ["train", "--preset", preset, "--out", out_dir,
-           f"--train.seed={seed}"] + overrides
-    t0 = time.time()
-    for attempt in range(ATTEMPTS):
-        out, err = _run_watched(cli, out_dir,
-                                RUN_TIMEOUT, os.path.join(
-                                    out_dir, f"run_{attempt}.log"))
-        if err is None:
-            break
-        print(f"  [retry] {preset} seed {seed}: attempt {attempt} "
-              f"{err}", flush=True)
-        wait_for_tpu()  # don't burn attempts while the tunnel is down
-    else:
-        raise RuntimeError(f"train {preset} seed {seed}: all "
-                           f"{ATTEMPTS} attempts failed ({err})")
-    line = next((ln for ln in reversed(out.strip().splitlines())
-                 if ln.startswith("{")), None)
-    if line is None:
-        sys.stderr.write(out[-3000:])
-        raise RuntimeError(f"train {preset} seed {seed}: no result "
-                           "line")
-    result = json.loads(line)
-    result.update(preset=preset, seed=seed,
-                  wall_seconds=round(time.time() - t0, 1))
-    with open(res_path, "w") as f:
-        json.dump(result, f, indent=2)
-    return result
-
-
-def campaign(presets, seeds, out_root, overrides):
-    results = []
-    for preset in presets:
-        for seed in range(seeds):
-            out_dir = os.path.join(out_root, f"{preset}_s{seed}")
-            os.makedirs(out_dir, exist_ok=True)
-            try:
-                r = train_one(preset, seed, out_dir, overrides)
-            except RuntimeError as e:
-                # tunnel-init flakiness: skip, keep the campaign going;
-                # re-invoking the phase retries (result.json caching)
-                print(f"  [FAILED] {preset} seed {seed}: {e}",
-                      flush=True)
-                continue
-            acc = r["test"]["accuracy"]
-            print(f"  {preset} seed {seed}: test {acc:.4f} "
-                  f"({r.get('wall_seconds', 0):.0f}s)", flush=True)
-            results.append(r)
-    return results
 
 
 def bands(results):
@@ -217,39 +102,38 @@ def main():
     ap.add_argument("--out", default="runs/reference_replay")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--phase", default="all",
-                    choices=("spatial", "temporal", "compare", "table",
-                             "all"))
+                    choices=("spatial", "temporal", "controls",
+                             "compare", "table", "all"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     spatial_root = os.path.join(args.root, "spatial")
     packed = os.path.join(args.root, "spatial_packed")
     temporal_root = os.path.join(args.root, "temporal")
 
-    if args.phase in ("spatial", "all"):
+    if args.phase in ("spatial", "temporal", "controls", "all"):
+        # Training runs are owned by the unified in-process batch
+        # runner (round-5 consolidation — one campaign entry point so
+        # job lists can't drift from this table builder).
         if not os.path.isdir(packed):
             print("== packing spatial replay dataset", flush=True)
             p = run_cli(["pack", "--root", spatial_root, "--out", packed,
                          "--staging", "256"])
             print(p.stdout.strip()[-200:])
             assert p.returncode == 0, p.stderr[-2000:]
-        print("== spatial campaign", flush=True)
-        campaign(SPATIAL_PRESETS, args.seeds,
-                 os.path.join(args.out, "spatial"),
-                 [f"--data.data_root={spatial_root}",
-                  f"--data.packed_dir={packed}"])
-
-    if args.phase in ("temporal", "all"):
-        print("== temporal campaign", flush=True)
-        # PackedSequenceSource auto-builds per seq_len on first use
-        # (windows truncate 5→4 with the loader's repeat-last parity)
-        t4 = [p for p in TEMPORAL_PRESETS if p in ("cnn-lstm", "fact")]
-        t5 = [p for p in TEMPORAL_PRESETS if p not in t4]
-        for presets, pdir in ((t4, f"{temporal_root}_packed_t4"),
-                              (t5, f"{temporal_root}_packed_t5")):
-            campaign(presets, args.seeds,
-                     os.path.join(args.out, "temporal"),
-                     [f"--data.seq_root={temporal_root}",
-                      f"--data.packed_dir={pdir}"])
+        groups = {"spatial": "spatial",
+                  "temporal": "temporal,temporal-trainable",
+                  "controls": "controls",
+                  "all": "controls,temporal,temporal-trainable,"
+                         "spatial"}[args.phase]
+        print(f"== delegating to replay_batch --groups {groups}",
+              flush=True)
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "replay_batch.py"),
+             "--supervise", "--root", args.root,
+             "--seeds", str(args.seeds), "--groups", groups], cwd=REPO)
+        if rc != 0:
+            print(f"  [replay_batch rc {rc}]", flush=True)
 
     if args.phase in ("compare", "all"):
         print("== compare tier (seed-0 checkpoints)", flush=True)
@@ -268,19 +152,29 @@ def main():
             sys.stderr.write(p.stderr[-3000:])
 
     if args.phase in ("table", "all"):
-        results = []
-        for sub in ("spatial", "temporal"):
+        results, control_results, failures = [], [], []
+        for sub in ("spatial", "temporal", "controls"):
             d = os.path.join(args.out, sub)
             if not os.path.isdir(d):
                 continue
             for run in sorted(os.listdir(d)):
                 rp = os.path.join(d, run, "result.json")
-                if os.path.exists(rp):
-                    with open(rp) as f:
-                        r = json.load(f)
-                    if "test" in r:  # skip error-recorded runs
-                        results.append(r)
+                if not os.path.exists(rp):
+                    failures.append({"run": f"{sub}/{run}",
+                                     "error": "no result.json "
+                                              "(run never completed)"})
+                    continue
+                with open(rp) as f:
+                    r = json.load(f)
+                if "test" not in r:   # error row: surface, don't drop
+                    failures.append({"run": f"{sub}/{run}",
+                                     "error": r.get("error", "?"),
+                                     "attempts": r.get("attempts")})
+                    continue
+                (control_results if sub == "controls"
+                 else results).append(r)
         b = bands(results)
+        cb = bands(control_results)
         orderings = {}
         if "quadtree-fusion" in b:
             for other in ("comparative-resnet18", "comparative-resnet50",
@@ -305,11 +199,36 @@ def main():
                 and "experiment-numerical-only" in b):
             orderings["image_only_gt_numerical_only"] = separated(
                 b["experiment-image-only"], b["experiment-numerical-only"])
-        if "cnn-lstm" in b:
-            for other in TEMPORAL_PRESETS:
-                if other != "cnn-lstm" and other in b:
-                    orderings[f"{other}_gt_cnn-lstm"] = separated(
-                        b[other], b["cnn-lstm"])
+        # temporal: the reference's claim is CNN+LSTM weakest
+        # (README.md:149). Frozen-trunk rows floor at the random-trunk
+        # ceiling, so the trainable rows (cnn-lstm-trainable /
+        # fact-trainable) are the architecture-measuring comparison.
+        temporal_all = TEMPORAL_PRESETS + [f"{p}-trainable"
+                                           for p in TEMPORAL_PRESETS]
+        for base in ("cnn-lstm", "cnn-lstm-trainable"):
+            if base not in b:
+                continue
+            for other in temporal_all:
+                if other != base and other in b:
+                    orderings[f"{other}_gt_{base}"] = separated(
+                        b[other], b[base])
+        # controls (deviation rows): (a) epoch-matched flagship vs the
+        # 20-ep trainable baselines; (b) frozen-regime quadtree
+        # (experiment-fusion) vs frozen resnet18 at the same 224px
+        # operating point.
+        if "quadtree-fusion-20ep" in cb and "comparative-resnet18" in b:
+            orderings["ctrl_quadtree-20ep_gt_resnet18"] = separated(
+                cb["quadtree-fusion-20ep"], b["comparative-resnet18"])
+            orderings["ctrl_quadtree-20ep_band"] = [
+                round(cb["quadtree-fusion-20ep"]["mean"]
+                      - cb["quadtree-fusion-20ep"]["std"], 4),
+                round(cb["quadtree-fusion-20ep"]["mean"]
+                      + cb["quadtree-fusion-20ep"]["std"], 4)]
+        if ("comparative-resnet18-frozen" in cb
+                and "experiment-fusion" in b):
+            orderings["ctrl_frozen-quadtree_gt_frozen-resnet18"] = \
+                separated(b["experiment-fusion"],
+                          cb["comparative-resnet18-frozen"])
         table = {
             "meta": {
                 "dataset": args.root,
@@ -325,6 +244,8 @@ def main():
                             " cache; .npz sequence windows)",
             },
             "bands": dict(sorted(b.items())),
+            "control_bands": dict(sorted(cb.items())),
+            "failures": failures,
             "orderings": orderings,
         }
         with open(os.path.join(args.out, "table.json"), "w") as f:

@@ -483,6 +483,21 @@ def cmd_compare(argv: list[str]) -> int:
         entries.append({"name": name, "cfg": cfg, "params_path": path})
 
     cfg0 = entries[0]["cfg"]
+    # One shared data pipeline (the reference's analysis.py single-
+    # loader design): every entry is evaluated on entry 0's loader, so
+    # the data-relevant config must agree or later checkpoints would be
+    # silently scored on the wrong pipeline.
+    for e in entries[1:]:
+        for field in ("image_size", "num_classes", "num_features",
+                      "data_root", "seq_root", "synthetic"):
+            v0, v = (getattr(cfg0.data, field, None),
+                     getattr(e["cfg"].data, field, None))
+            if v0 != v:
+                raise SystemExit(
+                    f"compare: entry {e['name']!r} data.{field}={v!r} "
+                    f"differs from entry 0's {v0!r}; all entries share "
+                    "one data pipeline — pass matching --data.* "
+                    "overrides")
     mesh = _build_mesh(cfg0)
     data = _build_data(cfg0, pad_eval_to=mesh.shape["data"])
     summary = compare_models(entries, data, split=args.split,
