@@ -179,9 +179,12 @@ def run_jobs(groups, root: str, seeds: int):
             try:
                 mesh = _build_mesh(cfg)
                 data = _build_data(cfg, pad_eval_to=mesh.shape["data"])
-                summary = train_and_evaluate(cfg, data, mesh=mesh,
-                                             logger=logger,
-                                             checkpoints=False)
+                # spatial rows keep checkpoints: the compare tier
+                # (reference_replay --phase compare) evaluates the
+                # seed-0 checkpoints (analysis.py:33-167 parity)
+                summary = train_and_evaluate(
+                    cfg, data, mesh=mesh, logger=logger,
+                    checkpoints=(group == "spatial"))
             except Exception as e:
                 err = {"preset": name, "base_preset": preset,
                        "seed": seed, "attempts": attempts + 1,
