@@ -221,7 +221,7 @@ def main():
     ap.add_argument("--views", type=int, default=3)
     ap.add_argument("--preset", default="cnn-lstm")
     ap.add_argument("--phase", default="all",
-                    choices=("generate", "train", "all"))
+                    choices=("generate", "train", "combine", "all"))
     ap.add_argument("--trainable", action="store_true",
                     help="unfreeze the image trunk (see train_arm)")
     ap.add_argument("--cpu", action="store_true",
@@ -295,6 +295,77 @@ def main():
         with open(os.path.join(OUT, name), "w") as f:
             json.dump(ab, f, indent=2)
         print(json.dumps(ab, indent=2))
+
+    if args.phase == "combine":
+        combine()
+
+
+def combine():
+    """Aggregate every per-run result into the paired-gain summary
+    (`combined.json`) — the defensible cross-vehicle framing: mean
+    paired (aug − base) accuracy gain over all (vehicle, seed) pairs."""
+    import glob
+    import re
+
+    runs = {}
+    for rp in glob.glob(os.path.join(OUT, "*_s*", "result.json")):
+        m = re.match(r"(.+)_(base|aug)_s(\d+)$",
+                     os.path.basename(os.path.dirname(rp)))
+        if not m:
+            continue
+        with open(rp) as f:
+            r = json.load(f)
+        if "test" not in r:
+            continue
+        runs[(m.group(1), m.group(2), int(m.group(3)))] = \
+            r["test"]["accuracy"]
+
+    regimes = {}
+    paired = []
+    names = {"cnn-lstm": "cnn-lstm-frozen"}
+    for vehicle in sorted({k[0] for k in runs}):
+        seeds = sorted({s for v, a, s in runs
+                        if v == vehicle and (vehicle, "base", s) in runs
+                        and (vehicle, "aug", s) in runs})
+        if not seeds:
+            continue
+        bands = {}
+        for arm in ("base", "aug"):
+            accs = [runs[(vehicle, arm, s)] for s in seeds]
+            bands[arm] = {"mean": float(np.mean(accs)),
+                          "std": float(np.std(accs)), "accs": accs}
+        gain = bands["aug"]["mean"] - bands["base"]["mean"]
+        sep = (bands["aug"]["mean"] - bands["aug"]["std"]
+               > bands["base"]["mean"] + bands["base"]["std"])
+        regimes[names.get(vehicle, vehicle)] = {
+            "bands": bands, "gain": gain,
+            "separated_bands": bool(sep)}
+        paired += [round(runs[(vehicle, "aug", s)]
+                         - runs[(vehicle, "base", s)], 4)
+                   for s in seeds]
+
+    pos = sum(1 for d in paired if d > 0)
+    decisive = [k for k, v in regimes.items() if v["separated_bands"]
+                and v["gain"] > 0]
+    out = {
+        "regimes": regimes,
+        "paired_diffs": paired,
+        "summary": {
+            "n_pairs": len(paired),
+            "mean_gain": float(np.mean(paired)) if paired else None,
+            "positive_pairs": pos,
+            "decisive_vehicles": decisive,
+            "conclusion": (
+                f"oracle multiview augmentation: mean paired gain "
+                f"{np.mean(paired):+.3f} over {len(paired)} (vehicle, "
+                f"seed) pairs, {pos}/{len(paired)} positive; "
+                + (f"non-overlapping bands on {', '.join(decisive)}"
+                   if decisive else "no vehicle with separated bands")),
+        },
+    }
+    with open(os.path.join(OUT, "combined.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["summary"], indent=2))
 
 
 if __name__ == "__main__":
