@@ -14,11 +14,12 @@ here). Job groups, in the priority order they run:
 - ``temporal``   — the six temporal families at reference hypers
   (``cnn+lstm/training.py:26-29``, ``3dcnn/train_3D_Quadtree_cnn_
   model.py:29-43``, ``VIT/fact_model_train.py:27-31``).
-- ``temporal-trainable`` — cnn-lstm and fact with
+- ``temporal-trainable`` — the frozen-trunk families (cnn-lstm, fact,
+  resnet3d-video, hybrid-quadtree-3d) with
   ``model.freeze_backbone=false``: the reference freezes those trunks
-  because they are ImageNet/ViT-pretrained; with random init a frozen
-  trunk floors at ~0.22, so these rows measure the architectures
-  rather than the trunks' randomness.
+  because they are ImageNet/ViT/Kinetics-pretrained; with random init
+  a frozen trunk floors at ~0.22, so these rows measure the
+  architectures rather than the trunks' randomness.
 - ``spatial``    — the published spatial table presets
   (``README.md:140-143``); result.json resume makes this a no-op for
   completed rows (it exists to finish ``comparative-mobilenet-v2``).
@@ -94,9 +95,12 @@ def jobs_for(group: str, root: str, seeds: int):
         rows = [(p, p, temporal(p)) for p in TEMPORAL_PRESETS]
         out = f"{REPLAY}/temporal"
     elif group == "temporal-trainable":
+        # every family whose reference regime freezes a (here: random)
+        # trunk gets an architecture-measuring row; ji-3dcnn and
+        # quadtree-3d are natively trainable already
         rows = [(f"{p}-trainable", p,
                  {**temporal(p), "model.freeze_backbone": "false"})
-                for p in T4]
+                for p in T4 + ("resnet3d-video", "hybrid-quadtree-3d")]
         out = f"{REPLAY}/temporal"
     elif group == "spatial":
         rows = [(p, p, dict(spatial)) for p in SPATIAL_PRESETS]
